@@ -1,0 +1,172 @@
+"""Scheduler core — explicit-state, scan-compatible diffusion samplers.
+
+Design (TPU-first, unlike the reference's stateful torch scheduler objects,
+reference ``stable_diffusion_pipeline.py:17-24,393-426``):
+
+* ``make_tables(config, num_inference_steps)`` runs ONCE on the host and
+  precomputes every per-step coefficient as a dense array (timesteps, alphas,
+  sigmas, multistep coefficients — including the scipy-integrated LMS
+  Adams-Bashforth weights).  No scipy, no python branching, no dynamic shapes
+  ever reach the device.
+* ``init_state(...)`` builds a small fixed-shape pytree (history buffers,
+  counters, PRNG key).
+* ``scale_model_input(tables, state, i, x)`` and
+  ``step(tables, state, i, model_output, sample) -> (state, prev_sample)``
+  are pure jittable functions of the step *index* ``i`` — they gather their
+  coefficients from the tables, so the whole denoise loop is a single
+  ``lax.scan`` in one XLA program (the reference's flax pipeline got halfway
+  there with ``fori_loop``, ``flax_stable_diffusion_pipeline.py:305-307``).
+
+The six samplers of the reference torch pipeline are provided: DDIM, PNDM
+(PLMS), LMS, Euler, Euler-Ancestral, DPM-Solver++ multistep (reference
+``stable_diffusion_pipeline.py:17-24``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@flax.struct.dataclass
+class SchedulerConfig:
+    """Static sampler configuration (mirrors the SD v1.x scheduler config)."""
+    num_train_timesteps: int = flax.struct.field(pytree_node=False, default=1000)
+    beta_start: float = flax.struct.field(pytree_node=False, default=0.00085)
+    beta_end: float = flax.struct.field(pytree_node=False, default=0.012)
+    beta_schedule: str = flax.struct.field(pytree_node=False, default="scaled_linear")
+    prediction_type: str = flax.struct.field(pytree_node=False, default="epsilon")
+    steps_offset: int = flax.struct.field(pytree_node=False, default=1)
+    timestep_spacing: str = flax.struct.field(pytree_node=False, default="leading")
+    clip_sample: bool = flax.struct.field(pytree_node=False, default=False)
+    set_alpha_to_one: bool = flax.struct.field(pytree_node=False, default=False)
+    # PNDM
+    skip_prk_steps: bool = flax.struct.field(pytree_node=False, default=True)
+    # DPM-Solver++
+    solver_order: int = flax.struct.field(pytree_node=False, default=2)
+    algorithm_type: str = flax.struct.field(pytree_node=False, default="dpmsolver++")
+    lower_order_final: bool = flax.struct.field(pytree_node=False, default=True)
+    thresholding: bool = flax.struct.field(pytree_node=False, default=False)
+    # LMS / Euler
+    lms_order: int = flax.struct.field(pytree_node=False, default=4)
+
+
+def betas_for_schedule(cfg: SchedulerConfig) -> np.ndarray:
+    """Training beta schedule -> float64 numpy (host precision)."""
+    n = cfg.num_train_timesteps
+    if cfg.beta_schedule == "linear":
+        return np.linspace(cfg.beta_start, cfg.beta_end, n, dtype=np.float64)
+    if cfg.beta_schedule == "scaled_linear":
+        return np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5, n,
+                           dtype=np.float64) ** 2
+    if cfg.beta_schedule == "squaredcos_cap_v2":
+        def alpha_bar(t):
+            return np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+        ts = np.arange(n, dtype=np.float64)
+        return np.minimum(1 - alpha_bar((ts + 1) / n) / alpha_bar(ts / n), 0.999)
+    raise ValueError(f"unknown beta_schedule {cfg.beta_schedule!r}")
+
+
+def alphas_cumprod_for(cfg: SchedulerConfig) -> np.ndarray:
+    return np.cumprod(1.0 - betas_for_schedule(cfg))
+
+
+def check_num_steps(cfg: SchedulerConfig, num_inference_steps: int):
+    if not 1 <= num_inference_steps <= cfg.num_train_timesteps:
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} must be in "
+            f"[1, num_train_timesteps={cfg.num_train_timesteps}]")
+
+
+def leading_timesteps(cfg: SchedulerConfig, num_inference_steps: int) -> np.ndarray:
+    """'leading' spacing used by the SD checkpoints (descending int array)."""
+    check_num_steps(cfg, num_inference_steps)
+    ratio = cfg.num_train_timesteps // num_inference_steps
+    ts = (np.arange(0, num_inference_steps) * ratio).round().astype(np.int64)
+    return ts[::-1].copy() + cfg.steps_offset
+
+
+def spaced_timesteps(cfg: SchedulerConfig, num_inference_steps: int) -> np.ndarray:
+    check_num_steps(cfg, num_inference_steps)
+    if cfg.timestep_spacing == "leading":
+        return leading_timesteps(cfg, num_inference_steps)
+    if cfg.timestep_spacing == "linspace":
+        return np.linspace(0, cfg.num_train_timesteps - 1,
+                           num_inference_steps)[::-1].round().astype(np.int64).copy()
+    if cfg.timestep_spacing == "trailing":
+        ratio = cfg.num_train_timesteps / num_inference_steps
+        ts = np.round(np.arange(cfg.num_train_timesteps, 0, -ratio)).astype(np.int64) - 1
+        return ts.copy()
+    raise ValueError(f"unknown timestep_spacing {cfg.timestep_spacing!r}")
+
+
+def pred_original_sample(eps: jax.Array, sample: jax.Array, alpha_prod_t,
+                         prediction_type: str) -> jax.Array:
+    """x0 prediction from the model output under the given parameterisation."""
+    if prediction_type == "epsilon":
+        return (sample - jnp.sqrt(1.0 - alpha_prod_t) * eps) / jnp.sqrt(alpha_prod_t)
+    if prediction_type == "v_prediction":
+        return jnp.sqrt(alpha_prod_t) * sample - jnp.sqrt(1.0 - alpha_prod_t) * eps
+    if prediction_type == "sample":
+        return eps
+    raise ValueError(f"unknown prediction_type {prediction_type!r}")
+
+
+class Scheduler:
+    """Interface shared by all samplers.  Subclasses are stateless namespaces;
+    all data lives in (tables, state) pytrees."""
+
+    name: str = "base"
+    #: how many i.i.d. noise draws the sampler consumes per trajectory
+    #: (ancestral samplers); used to document determinism.
+    stochastic: bool = False
+
+    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int):
+        raise NotImplementedError
+
+    def init_state(self, tables, latent_shape, key: Optional[jax.Array] = None):
+        """``latent_shape`` includes the batch dim; key only for stochastic
+        samplers (a dummy key is fine otherwise)."""
+        return {}
+
+    def init_noise_sigma(self, tables) -> jax.Array:
+        return tables["init_noise_sigma"]
+
+    def scale_model_input(self, tables, state, i, sample):
+        return sample
+
+    def timestep(self, tables, i):
+        """The training-timestep fed to the UNet at loop index ``i``."""
+        return tables["timesteps"][i]
+
+    def num_loop_steps(self, tables) -> int:
+        """Number of loop iterations (== len(timesteps); PNDM repeats one)."""
+        return int(tables["timesteps"].shape[0])
+
+    def step(self, tables, state, i, model_output, sample):
+        raise NotImplementedError
+
+    def add_noise(self, tables, original, noise, timestep):
+        acp = tables["alphas_cumprod"][timestep]
+        return jnp.sqrt(acp) * original + jnp.sqrt(1.0 - acp) * noise
+
+
+_REGISTRY: dict[str, Any] = {}
+
+
+def register(cls):
+    _REGISTRY[cls.name] = cls()
+    return cls
+
+
+def get_scheduler(name: str) -> Scheduler:
+    """Look up a sampler by name ('ddim', 'pndm', 'lms', 'euler',
+    'euler_ancestral', 'dpm')."""
+    from . import ddim, dpm, euler, lms, pndm  # noqa: F401  (registration)
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown scheduler {name!r}; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
