@@ -1,0 +1,98 @@
+"""CLIP text encoder — prompt embedding, TPU-native Flax.
+
+Owns the role the reference delegates to ``transformers.CLIPTextModel`` (+
+Flax variant) — 77-token prompt embedding, once per walk endpoint (reference
+``stable_diffusion_pipeline.py:28,291-306,809-820``;
+``flax_stable_diffusion_pipeline.py:30,140-153,860-866``).
+
+Standard CLIP text transformer: token + learned position embeddings, L
+pre-LN blocks with causal self-attention and quick-GELU MLP, final LayerNorm.
+The SD pipeline consumes ``last_hidden_state``; the pooled output (EOS token
+features) feeds the safety checker's vision-text space.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import masked_attention
+
+
+@flax.struct.dataclass
+class CLIPTextConfig:
+    vocab_size: int = flax.struct.field(pytree_node=False, default=49408)
+    hidden_size: int = flax.struct.field(pytree_node=False, default=768)
+    intermediate_size: int = flax.struct.field(pytree_node=False, default=3072)
+    num_layers: int = flax.struct.field(pytree_node=False, default=12)
+    num_heads: int = flax.struct.field(pytree_node=False, default=12)
+    max_position_embeddings: int = flax.struct.field(pytree_node=False, default=77)
+    layer_norm_eps: float = flax.struct.field(pytree_node=False, default=1e-5)
+
+    @classmethod
+    def sd_v1(cls):
+        """openai/clip-vit-large-patch14 text tower (SD v1.x)."""
+        return cls()
+
+    @classmethod
+    def tiny(cls):
+        return cls(vocab_size=1000, hidden_size=32, intermediate_size=64,
+                   num_layers=2, num_heads=2)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPEncoderLayer(nn.Module):
+    config: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="layer_norm1")(x)
+        b, s, d = h.shape
+        hd = d // cfg.num_heads
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(h)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(h)
+        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(h)
+        q = q.reshape(b, s, cfg.num_heads, hd)
+        k = k.reshape(b, s, cfg.num_heads, hd)
+        v = v.reshape(b, s, cfg.num_heads, hd)
+        attn = masked_attention(q, k, v, causal=True).reshape(b, s, d)
+        x = x + nn.Dense(d, dtype=self.dtype, name="out_proj")(attn)
+
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="layer_norm2")(x)
+        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(d, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class CLIPTextEncoder(nn.Module):
+    config: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array):
+        """input_ids: (B, S) int32 -> (last_hidden_state (B,S,D), pooled (B,D))."""
+        cfg = self.config
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+                       name="token_embedding")(input_ids)
+        pos_ids = jnp.arange(input_ids.shape[1])[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       dtype=self.dtype, name="position_embedding")(pos_ids)
+        x = tok + pos
+        for i in range(cfg.num_layers):
+            x = CLIPEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="final_layer_norm")(x)
+        # pooled output: features at the EOS token (highest token id in CLIP)
+        eos_idx = jnp.argmax(input_ids, axis=-1)
+        pooled = x[jnp.arange(x.shape[0]), eos_idx]
+        return x, pooled

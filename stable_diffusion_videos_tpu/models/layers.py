@@ -1,0 +1,231 @@
+"""Shared neural blocks for the SD model family — Flax linen, NHWC.
+
+TPU-native equivalents of the diffusers building blocks the reference
+consumes externally (SURVEY.md §2.2): ResnetBlock2D, spatial transformer
+(self+cross attention, GEGLU FF), up/down sampling, timestep embeddings.
+
+Conventions:
+* NHWC everywhere (XLA:TPU's preferred conv layout; torch OIHW weights are
+  transposed by ``models/weights.py``).
+* ``dtype`` is the compute dtype (bf16 on TPU); params stay float32; GroupNorm
+  statistics and softmax always run in float32.
+* ``tiled=True`` switches every conv to circular padding — the explicit,
+  idiomatic version of the reference's global ``nn.Conv2d`` monkey-patch
+  (reference ``stable_diffusion_pipeline.py:840-858``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+
+
+def conv_padding(tiled: bool, pad: int = 1):
+    return "CIRCULAR" if tiled else [(pad, pad), (pad, pad)]
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: int = 10000) -> jax.Array:
+    """Sinusoidal timestep embedding, diffusers-compatible. t:(B,) -> (B,dim)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], -1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedMLP(nn.Module):
+    """Linear -> SiLU -> Linear projection of the sinusoidal embedding."""
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with float32 statistics regardless of compute dtype."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+                           dtype=jnp.float32, name="norm")(x.astype(jnp.float32))
+        return out.astype(orig)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN->SiLU->Conv3x3 [+temb] ->GN->SiLU->Conv3x3, residual shortcut."""
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    tiled: bool = False
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jax.Array] = None):
+        residual = x
+        h = GroupNorm32(self.groups, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3),
+                    padding=conv_padding(self.tiled), dtype=self.dtype,
+                    name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm32(self.groups, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3),
+                    padding=conv_padding(self.tiled), dtype=self.dtype,
+                    name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               name="conv_shortcut")(residual)
+        return h + residual
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    tiled: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        # diffusers pads (0,1),(0,1) for stride-2 conv downsampling;
+        # circular padding in tiled mode keeps seamlessness.
+        pad = "CIRCULAR" if self.tiled else [(1, 1), (1, 1)]
+        if not self.tiled:
+            pad = [(0, 1), (0, 1)]
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    tiled: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3),
+                       padding=conv_padding(self.tiled), dtype=self.dtype,
+                       name="conv")(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when ``context`` is None."""
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.num_heads, self.head_dim)
+        k = k.reshape(b, sk, self.num_heads, self.head_dim)
+        v = v.reshape(b, sk, self.num_heads, self.head_dim)
+        out = attention(q, k, v).reshape(b, sq, inner)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        hg = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(hg, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn -> GEGLU FF, pre-LN residual blocks."""
+    dim: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
+                               dtype=self.dtype, name="attn1")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
+                               dtype=self.dtype, name="attn2")(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Transformer2DModel: GN -> 1x1 proj_in -> N blocks -> 1x1 proj_out + res."""
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        out = GroupNorm32(32, dtype=self.dtype, name="norm")(x)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(out)
+        out = out.reshape(b, h * w, c)
+        for i in range(self.depth):
+            out = BasicTransformerBlock(c, self.num_heads, self.head_dim,
+                                        dtype=self.dtype,
+                                        name=f"blocks_{i}")(out, context)
+        out = out.reshape(b, h, w, c)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        return out + residual
+
+
+class VAEAttnBlock(nn.Module):
+    """Single-head full self-attention used in the VAE mid block."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        residual = x
+        out = GroupNorm32(32, dtype=self.dtype, name="group_norm")(x)
+        out = out.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(out)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(out)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(out)
+        attn_out = attention(q[:, :, None, :], k[:, :, None, :],
+                             v[:, :, None, :]).reshape(b, h * w, c)
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(attn_out)
+        return out.reshape(b, h, w, c) + residual

@@ -1,0 +1,138 @@
+"""UNet2DCondition — the noise predictor, TPU-native Flax/NHWC.
+
+Owns the role the reference delegates to ``diffusers.UNet2DConditionModel`` /
+``FlaxUNet2DConditionModel`` (reference ``stable_diffusion_pipeline.py:11,418``;
+``flax_stable_diffusion_pipeline.py:12,274-279``) — ~860M params, called
+2x batch per denoise step under CFG: THE hot kernel (SURVEY.md §2.2).
+
+Architecture = SD 1.x: conv_in, sinusoidal+MLP time embedding, 3 cross-attn
+down blocks + 1 plain down block, cross-attn mid block, mirrored up path with
+skip concatenation, GN+SiLU+conv_out.  Config-driven so tiny CPU-testable
+variants share every code path with the full 860M model.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from .layers import (Downsample2D, GroupNorm32, ResnetBlock2D,
+                     SpatialTransformer, TimestepEmbedMLP, Upsample2D,
+                     conv_padding, timestep_embedding)
+
+
+@flax.struct.dataclass
+class UNetConfig:
+    sample_size: int = flax.struct.field(pytree_node=False, default=64)
+    in_channels: int = flax.struct.field(pytree_node=False, default=4)
+    out_channels: int = flax.struct.field(pytree_node=False, default=4)
+    block_out_channels: Tuple[int, ...] = flax.struct.field(
+        pytree_node=False, default=(320, 640, 1280, 1280))
+    layers_per_block: int = flax.struct.field(pytree_node=False, default=2)
+    cross_attention_dim: int = flax.struct.field(pytree_node=False, default=768)
+    attention_head_dim: int = flax.struct.field(pytree_node=False, default=8)
+    # which resolution levels carry cross-attention transformers
+    # (SD1.x: all but the deepest)
+    attn_levels: Tuple[bool, ...] = flax.struct.field(
+        pytree_node=False, default=(True, True, True, False))
+    transformer_depth: int = flax.struct.field(pytree_node=False, default=1)
+    flip_sin_to_cos: bool = flax.struct.field(pytree_node=False, default=True)
+    freq_shift: float = flax.struct.field(pytree_node=False, default=0.0)
+
+    @classmethod
+    def sd_v1(cls):
+        """SD v1.1-v1.5 geometry (CompVis/stable-diffusion-v1-4 et al.)."""
+        return cls()
+
+    @classmethod
+    def tiny(cls):
+        """CPU-runnable config for tests; same code paths, ~0.5M params."""
+        return cls(sample_size=8, block_out_channels=(32, 64),
+                   layers_per_block=1, cross_attention_dim=32,
+                   attention_head_dim=2, attn_levels=(True, False))
+
+
+class UNet2DCondition(nn.Module):
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+    tiled: bool = False
+
+    @nn.compact
+    def __call__(self, sample: jax.Array, timesteps: jax.Array,
+                 encoder_hidden_states: jax.Array) -> jax.Array:
+        """sample: (B,H,W,C) latents; timesteps: (B,) or scalar;
+        encoder_hidden_states: (B, S, cross_attention_dim). Returns (B,H,W,C)."""
+        cfg = self.config
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        n_levels = len(cfg.block_out_channels)
+        heads = cfg.attention_head_dim  # SD quirk: this field IS num_heads
+
+        # time embedding
+        t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0],
+                                   cfg.flip_sin_to_cos, cfg.freq_shift)
+        temb = TimestepEmbedMLP(cfg.block_out_channels[0] * 4,
+                                dtype=self.dtype,
+                                name="time_embedding")(t_emb.astype(self.dtype))
+
+        ctx = encoder_hidden_states.astype(self.dtype)
+        x = sample.astype(self.dtype)
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3),
+                    padding=conv_padding(self.tiled), dtype=self.dtype,
+                    name="conv_in")(x)
+
+        # ---- down path ----
+        skips = [x]
+        for level, ch in enumerate(cfg.block_out_channels):
+            is_last = level == n_levels - 1
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
+                                  name=f"down_{level}_res_{j}")(x, temb)
+                if cfg.attn_levels[level]:
+                    x = SpatialTransformer(
+                        heads, ch // heads, depth=cfg.transformer_depth,
+                        dtype=self.dtype,
+                        name=f"down_{level}_attn_{j}")(x, ctx)
+                skips.append(x)
+            if not is_last:
+                x = Downsample2D(ch, dtype=self.dtype, tiled=self.tiled,
+                                 name=f"down_{level}_downsample")(x)
+                skips.append(x)
+
+        # ---- mid ----
+        mid_ch = cfg.block_out_channels[-1]
+        x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
+                          name="mid_res_0")(x, temb)
+        x = SpatialTransformer(heads, mid_ch // heads,
+                               depth=cfg.transformer_depth, dtype=self.dtype,
+                               name="mid_attn")(x, ctx)
+        x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
+                          name="mid_res_1")(x, temb)
+
+        # ---- up path (mirrored, skip concat) ----
+        for idx, level in enumerate(reversed(range(n_levels))):
+            ch = cfg.block_out_channels[level]
+            is_last = idx == n_levels - 1
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
+                                  name=f"up_{level}_res_{j}")(x, temb)
+                if cfg.attn_levels[level]:
+                    x = SpatialTransformer(
+                        heads, ch // heads, depth=cfg.transformer_depth,
+                        dtype=self.dtype, name=f"up_{level}_attn_{j}")(x, ctx)
+            if not is_last:
+                x = Upsample2D(ch, dtype=self.dtype, tiled=self.tiled,
+                               name=f"up_{level}_upsample")(x)
+
+        x = GroupNorm32(32, dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=conv_padding(self.tiled),
+                    dtype=self.dtype, name="conv_out")(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,79 @@
+"""Attention op with a switchable backend (XLA einsum / Pallas flash).
+
+The reference relies on xformers CUDA attention or "attention slicing" to fit
+memory (reference ``stable_diffusion_pipeline.py:161-189``,
+``examples/run_app.py:19-20``).  Neither concept survives on TPU: the Pallas
+flash kernel (``ops/flash_attention.py``) streams K/V tiles through VMEM so
+the S×S score matrix never materialises in HBM, and the XLA path below is a
+single fused softmax(QK^T)V program.  Softmax statistics are always computed
+in float32 regardless of the bf16 compute dtype.
+
+Shapes follow the UNet convention: ``q: (B, Sq, H, D)``, ``k/v: (B, Sk, H, D)``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = os.environ.get("SDV_ATTENTION_BACKEND", "auto")
+
+
+def set_attention_backend(name: str):
+    """'auto' | 'xla' | 'flash' (module-level; applies to future traces)."""
+    global _BACKEND
+    if name not in ("auto", "xla", "flash"):
+        raise ValueError(f"unknown attention backend {name!r}")
+    _BACKEND = name
+
+
+def _resolve_backend(seq_len: int) -> str:
+    if _BACKEND != "auto":
+        return _BACKEND
+    # flash pays off for long sequences on TPU; tiny sequences (test configs,
+    # CLIP's 77 tokens) are faster through plain XLA fusion.
+    on_tpu = jax.default_backend() == "tpu"
+    return "flash" if (on_tpu and seq_len >= 1024) else "xla"
+
+
+def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  scale: float | None = None) -> jax.Array:
+    """Reference attention: one XLA program, fp32 softmax."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              scale: float | None = None) -> jax.Array:
+    """Dispatch to the configured backend.  q:(B,Sq,H,D) k,v:(B,Sk,H,D)."""
+    backend = _resolve_backend(q.shape[1])
+    if backend == "flash":
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale)
+    return xla_attention(q, k, v, scale=scale)
+
+
+@functools.partial(jax.jit, static_argnames=("causal",))
+def masked_attention(q, k, v, mask=None, causal: bool = False,
+                     scale: float | None = None):
+    """Attention with an optional additive mask / causal masking (CLIP path)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        s = q.shape[1]
+        cm = jnp.tril(jnp.ones((s, s), bool))
+        logits = jnp.where(cm[None, None], logits, jnp.finfo(jnp.float32).min)
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
