@@ -1,0 +1,129 @@
+"""Benchmark: frames/sec/chip for a 512x512, 50-step CFG walk dispatch.
+
+Runs the production denoise program (CFG scan + VAE decode in one sharded
+XLA dispatch) with full SD v1.x geometry in bf16 on the available chip(s).
+Weights are random — FLOP/byte cost is identical to trained weights.
+
+Baseline: the reference publishes no frames/sec (SURVEY.md §6).  BASELINE.md's
+north star is ">=6x A100 frames/sec/chip"; a well-tuned fp16+xformers
+diffusers SD1.x on A100 sustains ~1.0 frames/s at 512^2/50 steps with
+practical batch sizes, so ``vs_baseline`` reports frames/sec/chip relative to
+that 1.0 f/s A100 figure.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+A100_BASELINE_FPS = 1.0  # frames/sec/GPU, fp16+xformers diffusers, 512^2/50
+
+
+def main():
+    from stable_diffusion_videos_tpu.core.schedulers import SchedulerConfig
+    from stable_diffusion_videos_tpu.models import (CLIPTextConfig,
+                                                    HashTokenizer)
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.models.unet import (UNet2DCondition,
+                                                         UNetConfig)
+    from stable_diffusion_videos_tpu.models.vae import AutoencoderKL, VAEConfig
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_chips = jax.device_count()
+
+    if on_tpu:
+        ucfg, vcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1()
+        steps, batch, side = 50, 8, 512
+        dtype = jnp.bfloat16
+    else:  # smoke fallback so bench always runs
+        ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+        steps, batch, side = 10, 8, 16
+        dtype = jnp.float32
+
+    tcfg = CLIPTextConfig.tiny()
+    f = vcfg.scale_factor
+    h = w = side // f
+
+    # random bf16 params without materialising fp32 first
+    def init_zeros(model, *args):
+        shapes = jax.eval_shape(lambda k: model.init(k, *args),
+                                jax.random.PRNGKey(0))
+        key = [jax.random.PRNGKey(1)]
+
+        def mk(s):
+            key[0], sub = jax.random.split(key[0])
+            return (jax.random.normal(sub, s.shape, jnp.float32) * 0.02
+                    ).astype(dtype if s.dtype == jnp.float32 else s.dtype)
+        return jax.tree.map(mk, shapes)
+
+    unet = UNet2DCondition(ucfg, dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+    from stable_diffusion_videos_tpu.models.clip_text import CLIPTextEncoder
+    enc = CLIPTextEncoder(tcfg, dtype=dtype)
+
+    params = {
+        "unet": init_zeros(unet, jnp.zeros((1, h, w, ucfg.in_channels)),
+                           jnp.zeros((1,)),
+                           jnp.zeros((1, 77, ucfg.cross_attention_dim))),
+        "vae": init_zeros(vae, jnp.zeros((1, side, side, 3))),
+        "text_encoder": init_zeros(enc, jnp.zeros((1, 77), jnp.int32)),
+    }
+    models = SDModels(ucfg, vcfg, tcfg, params,
+                      HashTokenizer(vocab_size=tcfg.vocab_size),
+                      SchedulerConfig(), dtype=dtype)
+    engine = Engine(models, scheduler="pndm", batch_bucket=batch)
+
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal(
+        (batch, 77, ucfg.cross_attention_dim), np.float32))
+    uncond = cond[:1]
+    noise = jnp.asarray(rng.standard_normal((batch, h, w, 4), np.float32))
+
+    # warmup/compile
+    t0 = time.time()
+    imgs = engine.denoise_frames(cond, uncond, noise,
+                                 num_inference_steps=steps)
+    compile_s = time.time() - t0
+
+    # timed runs
+    n_runs = 3
+    t0 = time.time()
+    for _ in range(n_runs):
+        fut, valid = engine.denoise_frames_async(cond, uncond, noise,
+                                                 num_inference_steps=steps)
+    jax.block_until_ready(fut)
+    dt = (time.time() - t0) / n_runs
+
+    fps_chip = batch / dt / n_chips
+    result = {
+        "metric": f"frames/sec/chip @ {side}x{side}, {steps} steps, CFG, "
+                  f"batch {batch}, {jax.default_backend()}",
+        "value": round(fps_chip, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_chip / A100_BASELINE_FPS, 4),
+        "detail": {
+            "seconds_per_dispatch": round(dt, 3),
+            "compile_plus_first_run_s": round(compile_s, 1),
+            "chips": n_chips,
+            "backend": jax.default_backend(),
+            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
+                         else dtype),
+            "out_shape": list(np.asarray(imgs).shape),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Gradio UI — two-tab Interface (Images / Videos), reference ``app.py:8-133``.
+
+gradio is an optional dependency (not present in the build environment); the
+import is gated with a clear error.  Unlike the reference there is no
+torch/flax switch (``app.py:88-91``) — one TPU pipeline serves both tabs.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+logger = logging.getLogger("sdv_tpu")
+
+
+def _require_gradio():
+    try:
+        import gradio as gr
+        return gr
+    except ImportError as e:
+        raise ImportError(
+            "gradio is required for the UI: pip install gradio (the compute "
+            "pipeline works without it)") from e
+
+
+class Interface:
+    """Two-tab app: batch images and walk videos, wrapping one pipeline."""
+
+    def __init__(self, pipeline):
+        gr = _require_gradio()
+        self.pipeline = pipeline
+
+        self.interface_images = gr.Interface(
+            self.fn_images,
+            inputs=[
+                gr.Textbox("blueberry spaghetti", label="Prompt"),
+                gr.Slider(1, 24, 1, step=1, label="Batch size"),
+                gr.Slider(1, 16, 1, step=1, label="# Batches"),
+                gr.Slider(10, 100, 50, step=10, label="# Inference Steps"),
+                gr.Slider(5.0, 15.0, 7.5, step=0.5, label="Guidance Scale"),
+                gr.Checkbox(False, label="Upsample"),
+                gr.Textbox("./images", label="Output directory"),
+            ],
+            outputs=gr.Gallery(),
+        )
+        self.interface_videos = gr.Interface(
+            self.fn_videos,
+            inputs=[
+                gr.Textbox("blueberry spaghetti\nstrawberry spaghetti",
+                           lines=2, label="Prompts (one per line)"),
+                gr.Textbox("42\n1337", lines=2, label="Seeds (one per line)"),
+                gr.Slider(3, 1000, 5, step=1, label="# Interpolation Steps"),
+                gr.Slider(3, 60, 5, step=1, label="Output Video FPS"),
+                gr.Slider(1, 24, 1, step=1, label="Batch size"),
+                gr.Slider(10, 100, 50, step=10, label="# Inference Steps"),
+                gr.Slider(5.0, 15.0, 7.5, step=0.5, label="Guidance Scale"),
+                gr.Checkbox(False, label="Upsample"),
+                gr.Textbox("./dreams", label="Output directory"),
+            ],
+            outputs=gr.Video(),
+        )
+        self.interface = gr.TabbedInterface(
+            [self.interface_images, self.interface_videos],
+            ["Images!", "Videos!"])
+
+    def fn_images(self, prompt, batch_size, num_batches, num_inference_steps,
+                  guidance_scale, upsample, output_dir):
+        from .pipeline.image_generation import generate_images
+        paths = generate_images(
+            self.pipeline, prompt, batch_size=int(batch_size),
+            num_batches=int(num_batches),
+            num_inference_steps=int(num_inference_steps),
+            guidance_scale=guidance_scale, upsample=upsample,
+            output_dir=output_dir,
+            name=time.strftime("%Y%m%d-%H%M%S"))
+        return [(p, Path(p).stem) for p in paths]
+
+    def fn_videos(self, prompts, seeds, num_interpolation_steps, fps,
+                  batch_size, num_inference_steps, guidance_scale, upsample,
+                  output_dir):
+        prompts = [p.strip() for p in prompts.split("\n") if p.strip()]
+        seeds = [int(s.strip()) for s in seeds.split("\n") if s.strip()]
+        return self.pipeline.walk(
+            prompts=prompts, seeds=seeds,
+            num_interpolation_steps=int(num_interpolation_steps),
+            fps=int(fps), batch_size=int(batch_size),
+            num_inference_steps=int(num_inference_steps),
+            guidance_scale=guidance_scale, upsample=upsample,
+            output_dir=output_dir)
+
+    def launch(self, *args, **kwargs):
+        self.interface.launch(*args, **kwargs)

@@ -155,6 +155,44 @@ class Scheduler:
         return jnp.sqrt(acp) * original + jnp.sqrt(1.0 - acp) * noise
 
 
+@jax.tree_util.register_pytree_node_class
+class SchedTables:
+    """Pytree wrapper for scheduler tables: arrays are traced children,
+    metadata (strings/bools/ints like ``prediction_type``) is static aux
+    data — so tables pass straight through ``jax.jit`` argument lists and
+    python branching on the metadata stays legal inside traced code."""
+
+    def __init__(self, entries: dict):
+        self._d = dict(entries)
+
+    def __getitem__(self, k):
+        return self._d[k]
+
+    def __contains__(self, k):
+        return k in self._d
+
+    def items(self):
+        return self._d.items()
+
+    @staticmethod
+    def _is_array(v) -> bool:
+        return hasattr(v, "dtype") and hasattr(v, "shape")
+
+    def tree_flatten(self):
+        arr_keys = tuple(sorted(k for k, v in self._d.items()
+                                if self._is_array(v)))
+        static = tuple(sorted((k, v) for k, v in self._d.items()
+                              if not self._is_array(v)))
+        return [self._d[k] for k in arr_keys], (arr_keys, static)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        arr_keys, static = aux
+        d = dict(zip(arr_keys, children))
+        d.update(dict(static))
+        return cls(d)
+
+
 _REGISTRY: dict[str, Any] = {}
 
 

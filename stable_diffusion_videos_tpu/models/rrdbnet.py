@@ -1,0 +1,113 @@
+"""RRDBNet (Real-ESRGAN generator) — 4x super-resolution, TPU-native Flax.
+
+Owns the role of ``realesrgan``/``basicsr`` RRDBNet in the reference's
+upsampling stage (``upsampling.py:13-99``), which is torch/CUDA-only and
+silently disabled on the reference's own TPU path
+(``flax_stable_diffusion_pipeline.py:603``).  Here it is a first-class
+NHWC Flax model: 23 residual-in-residual dense blocks + 2x nearest-conv
+upsampling twice.
+
+Weight conversion from the published ``RealESRGAN_x4plus.pth`` lives in
+``models/weights.py``.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class RRDBNetConfig:
+    in_channels: int = flax.struct.field(pytree_node=False, default=3)
+    out_channels: int = flax.struct.field(pytree_node=False, default=3)
+    num_feat: int = flax.struct.field(pytree_node=False, default=64)
+    num_block: int = flax.struct.field(pytree_node=False, default=23)
+    num_grow_ch: int = flax.struct.field(pytree_node=False, default=32)
+    scale: int = flax.struct.field(pytree_node=False, default=4)
+
+    @classmethod
+    def x4plus(cls):
+        """RealESRGAN_x4plus geometry (the weights the reference downloads,
+        ``upsampling.py:31-41``)."""
+        return cls()
+
+    @classmethod
+    def tiny(cls):
+        return cls(num_feat=16, num_block=2, num_grow_ch=8)
+
+
+def _lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class ResidualDenseBlock(nn.Module):
+    num_feat: int
+    num_grow_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.num_grow_ch
+        conv = lambda ch, name: nn.Conv(ch, (3, 3), padding="SAME",
+                                        dtype=self.dtype, name=name)
+        x1 = _lrelu(conv(g, "conv1")(x))
+        x2 = _lrelu(conv(g, "conv2")(jnp.concatenate([x, x1], -1)))
+        x3 = _lrelu(conv(g, "conv3")(jnp.concatenate([x, x1, x2], -1)))
+        x4 = _lrelu(conv(g, "conv4")(jnp.concatenate([x, x1, x2, x3], -1)))
+        x5 = conv(self.num_feat, "conv5")(
+            jnp.concatenate([x, x1, x2, x3, x4], -1))
+        return x5 * 0.2 + x
+
+
+class RRDB(nn.Module):
+    num_feat: int
+    num_grow_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch,
+                                 dtype=self.dtype, name="rdb1")(x)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch,
+                                 dtype=self.dtype, name="rdb2")(out)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch,
+                                 dtype=self.dtype, name="rdb3")(out)
+        return out * 0.2 + x
+
+
+class RRDBNet(nn.Module):
+    config: RRDBNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """(B, H, W, 3) in [0,1] -> (B, scale*H, scale*W, 3) in [0,1]."""
+        cfg = self.config
+        x = x.astype(self.dtype)
+        feat = nn.Conv(cfg.num_feat, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv_first")(x)
+        body = feat
+        for i in range(cfg.num_block):
+            body = RRDB(cfg.num_feat, cfg.num_grow_ch, dtype=self.dtype,
+                        name=f"body_{i}")(body)
+        body = nn.Conv(cfg.num_feat, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv_body")(body)
+        feat = feat + body
+
+        def up2(h, name):
+            b, hh, ww, c = h.shape
+            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+            return _lrelu(nn.Conv(cfg.num_feat, (3, 3), padding="SAME",
+                                  dtype=self.dtype, name=name)(h))
+
+        feat = up2(feat, "conv_up1")
+        if cfg.scale == 4:
+            feat = up2(feat, "conv_up2")
+        feat = _lrelu(nn.Conv(cfg.num_feat, (3, 3), padding="SAME",
+                              dtype=self.dtype, name="conv_hr")(feat))
+        out = nn.Conv(cfg.out_channels, (3, 3), padding="SAME",
+                      dtype=self.dtype, name="conv_last")(feat)
+        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)

@@ -1,0 +1,410 @@
+"""StableDiffusionWalkPipeline — the product: latent-space-walk videos.
+
+TPU-native re-design of the reference pipeline pair
+(``stable_diffusion_pipeline.py:38-858`` torch,
+``flax_stable_diffusion_pipeline.py:42-939`` flax) with the reference's exact
+``walk()`` API surface (prompts, seeds, int-or-list num_interpolation_steps,
+audio_filepath, margin, smooth, resume, upsample, negative_prompt,
+batch_size, make_video — ``stable_diffusion_pipeline.py:556-579``).
+
+Division of labour (SURVEY.md §7): the device runs ONE jitted sharded program
+per dispatch (trajectory interp -> CFG denoise scan -> VAE decode, via
+``runtime.Engine``); python handles audio analysis, file IO, resume
+bookkeeping, and streams finished frames into the video encoder while the
+next dispatch runs.
+
+Parity notes vs the torch reference:
+* embeddings LERP / noise SLERP (``stable_diffusion_pipeline.py:467-468``) —
+  the flax reference slerps both (``flax...py:472-473``); configurable via
+  ``embed_interp``.
+* per-seed noise defaults to the torch-CPU-compatible stream
+  (``core/rng.py``).
+* resume fixes the reference's final-frame edge case (``skip + 1 >=
+  num_step`` guard, ``stable_diffusion_pipeline.py:750``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import List, Optional, Union
+
+import jax
+import numpy as np
+from PIL import Image
+
+from ..audio.analysis import get_timesteps_arr
+from ..core.interp import lerp, slerp
+from ..core.rng import noise_for_seed
+from ..media.video import make_video
+from ..models.bundle import SDModels
+from ..runtime.engine import Engine
+from ..utils.profiling import StageTimer
+
+logger = logging.getLogger("sdv_tpu")
+
+
+class StableDiffusionWalkPipeline:
+    def __init__(self, models: SDModels, scheduler: str = "pndm", mesh=None,
+                 batch_bucket: Optional[int] = None,
+                 embed_interp: str = "lerp", noise_interp: str = "slerp",
+                 rng_impl: str = "torch", safety: bool = False):
+        self.models = models
+        self.engine = Engine(models, mesh=mesh, scheduler=scheduler,
+                             batch_bucket=batch_bucket)
+        self.embed_interp = embed_interp
+        self.noise_interp = noise_interp
+        self.rng_impl = rng_impl
+        self.safety = safety
+        self.upsampler = None
+        self.timer = StageTimer()
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+    @classmethod
+    def tiny(cls, **kw) -> "StableDiffusionWalkPipeline":
+        """Random tiny-model pipeline — every code path, no weights."""
+        return cls(SDModels.tiny(), **kw)
+
+    @classmethod
+    def from_pretrained(cls, path: str, scheduler: str = "pndm",
+                        tiled: bool = False, dtype=None,
+                        **kw) -> "StableDiffusionWalkPipeline":
+        """Load a diffusers-layout SD v1.x checkpoint directory.  ``tiled``
+        replaces the reference's conv monkey-patch
+        (``stable_diffusion_pipeline.py:840-858``) with explicit circular
+        convs."""
+        import jax.numpy as jnp
+        models = SDModels.from_pretrained(
+            path, dtype=dtype or jnp.bfloat16, tiled=tiled)
+        return cls(models, scheduler=scheduler, **kw)
+
+    # ------------------------------------------------------------------
+    # building blocks (reference helper API)
+    # ------------------------------------------------------------------
+    def embed_text(self, text, negative_prompt=None):
+        """Prompt -> (1, 77, D) embedding (reference ``embed_text``,
+        ``stable_diffusion_pipeline.py:809-820``)."""
+        with self.timer.stage("embed"):
+            return np.asarray(self.engine.embed_text(text))
+
+    def init_noise(self, seed: int, noise_shape, dtype=np.float32):
+        """Seeded latent noise, torch-stream-compatible by default
+        (reference ``init_noise``, ``stable_diffusion_pipeline.py:822-838``).
+        ``noise_shape`` is NHWC."""
+        return noise_for_seed(seed, tuple(noise_shape),
+                              impl=self.rng_impl).astype(dtype)
+
+    def _latent_shape(self, height: int, width: int):
+        f = self.models.vae_scale_factor
+        c = self.models.unet_config.in_channels
+        return (1, height // f, width // f, c)
+
+    def generate_inputs(self, prompt_a: str, prompt_b: str, seed_a, seed_b,
+                        noise_shape, T, batch_size: int):
+        """Interpolated (embeds, noise) batches for one clip (reference
+        ``generate_inputs``, ``stable_diffusion_pipeline.py:457-479``) — but
+        the whole trajectory is built on device in two fused interpolation
+        programs instead of a per-frame host loop."""
+        embeds_a = self.engine.embed_text(prompt_a)
+        embeds_b = self.engine.embed_text(prompt_b)
+        noise_a = jax.numpy.asarray(self.init_noise(seed_a, noise_shape))
+        noise_b = jax.numpy.asarray(self.init_noise(seed_b, noise_shape))
+
+        T = np.asarray(T, np.float32)
+        interp = {"lerp": lerp, "slerp": slerp}
+        embeds = interp[self.embed_interp](T, embeds_a[0], embeds_b[0])
+        noise = interp[self.noise_interp](T, noise_a[0], noise_b[0])
+        for i in range(0, len(T), batch_size):
+            yield embeds[i:i + batch_size], noise[i:i + batch_size]
+
+    # ------------------------------------------------------------------
+    # frame generation
+    # ------------------------------------------------------------------
+    def _postprocess(self, images: np.ndarray) -> List[Image.Image]:
+        """float [0,1] (B,H,W,3) -> PIL, with safety blackout + upsampling."""
+        if self.safety:
+            flags = self.engine.check_safety(images)
+            if flags.any():
+                logger.warning("safety checker flagged %d frame(s); "
+                               "blacking out", int(flags.sum()))
+                images = np.where(flags[:, None, None, None], 0.0, images)
+        pils = [Image.fromarray((np.clip(f, 0, 1) * 255).round().astype(np.uint8))
+                for f in images]
+        if self.upsampler is not None:
+            with self.timer.stage("upsample"):
+                pils = [self.upsampler(p) for p in pils]
+        return pils
+
+    def make_clip_frames(self, prompt_a: str, prompt_b: str, seed_a: int,
+                         seed_b: int, num_interpolation_steps: int = 5,
+                         save_path: Union[str, Path] = "outputs/images",
+                         num_inference_steps: int = 50,
+                         guidance_scale: float = 7.5, eta: float = 0.0,
+                         height: Optional[int] = None,
+                         width: Optional[int] = None,
+                         upsample: bool = False, batch_size: int = 1,
+                         image_file_ext: str = ".png",
+                         T=None, skip: int = 0,
+                         negative_prompt: Optional[str] = None,
+                         step: Optional[tuple] = None):
+        """Generate frames for one prompt-pair clip (reference
+        ``make_clip_frames``, ``stable_diffusion_pipeline.py:481-554``)."""
+        if upsample:
+            self._ensure_upsampler()
+        height = height or self.models.default_size
+        width = width or self.models.default_size
+        save_path = Path(save_path)
+        save_path.mkdir(parents=True, exist_ok=True)
+
+        T = np.asarray(T if T is not None
+                       else np.linspace(0.0, 1.0, num_interpolation_steps))
+        if T.shape[0] != num_interpolation_steps:
+            raise ValueError(
+                f"len(T) ({T.shape[0]}) != num_interpolation_steps "
+                f"({num_interpolation_steps})")
+        T = T[skip:]
+
+        noise_shape = self._latent_shape(height, width)
+        uncond = self.engine.embed_text(negative_prompt or "")
+
+        batch_gen = self.generate_inputs(prompt_a, prompt_b, seed_a, seed_b,
+                                         noise_shape, T, batch_size)
+        frame_index = skip
+        total = len(T)
+        pending = None  # (device_future, valid, start_frame_index)
+
+        def drain(p):
+            imgs_dev, valid, start = p
+            with self.timer.stage("transfer"):
+                imgs = np.asarray(imgs_dev)[:valid]
+            with self.timer.stage("save"):
+                for j, pil in enumerate(self._postprocess(imgs)):
+                    pil.save(save_path
+                             / f"frame{start + j:06d}{image_file_ext}")
+            self.timer.add_frames(valid)
+
+        done = 0
+        for batch_idx, (embeds, noise) in enumerate(batch_gen):
+            prefix = f"[{step[0]}/{step[1]}]" if step else ""
+            logger.info("%s[%d] generating frames %d-%d / %d", prefix,
+                        batch_idx, frame_index, frame_index + len(noise) - 1,
+                        skip + total)
+            with self.timer.stage("denoise"):
+                fut, valid = self.engine.denoise_frames_async(
+                    embeds, uncond, noise,
+                    num_inference_steps=num_inference_steps,
+                    guidance_scale=guidance_scale, eta=eta,
+                    key=jax.random.PRNGKey(int(seed_a) * 7919 + batch_idx))
+            # overlap: save the previous batch while this one computes
+            if pending is not None:
+                drain(pending)
+            pending = (fut, valid, frame_index)
+            frame_index += valid
+            done += valid
+        if pending is not None:
+            drain(pending)
+
+    # ------------------------------------------------------------------
+    # the product: walk()
+    # ------------------------------------------------------------------
+    def walk(self, prompts: Optional[List[str]] = None,
+             seeds: Optional[List[int]] = None,
+             num_interpolation_steps: Optional[Union[int, List[int]]] = 5,
+             output_dir: str = "./dreams", name: Optional[str] = None,
+             image_file_ext: str = ".png", fps: int = 30,
+             num_inference_steps: int = 50, guidance_scale: float = 7.5,
+             eta: float = 0.0, height: Optional[int] = None,
+             width: Optional[int] = None, upsample: bool = False,
+             batch_size: int = 1, resume: bool = False,
+             audio_filepath: Optional[str] = None,
+             audio_start_sec: Optional[float] = None, margin: float = 1.0,
+             smooth: float = 0.0, negative_prompt: Optional[str] = None,
+             make_video: bool = True) -> Optional[str]:
+        """Generate a video walking through prompt/seed pairs — reference
+        ``walk()`` (``stable_diffusion_pipeline.py:556-807``), same API and
+        output directory layout (clip subdirs + per-clip mp4 + final mp4 +
+        ``prompt_config.json``).  Returns the final video path (or the run
+        directory when ``make_video=False``)."""
+        from ..media.video import make_video as assemble
+
+        height = height or self.models.default_size
+        width = width or self.models.default_size
+        output_path = Path(output_dir)
+        name = name or time.strftime("%Y%m%d-%H%M%S")
+        save_path_root = output_path / name
+        save_path_root.mkdir(parents=True, exist_ok=True)
+
+        if upsample:
+            self._ensure_upsampler()
+
+        config_path = save_path_root / "prompt_config.json"
+        if resume:
+            if not config_path.exists():
+                raise FileNotFoundError(
+                    f"resume=True but {config_path} does not exist; provide "
+                    "the `name` of a previous run")
+            data = json.loads(config_path.read_text())
+            prompts = data["prompts"]
+            seeds = data["seeds"]
+            num_interpolation_steps = data["num_interpolation_steps"]
+            fps = data["fps"]
+            num_inference_steps = data["num_inference_steps"]
+            guidance_scale = data["guidance_scale"]
+            eta = data["eta"]
+            upsample = data["upsample"]
+            height = data["height"]
+            width = data["width"]
+            audio_filepath = data["audio_filepath"]
+            audio_start_sec = data["audio_start_sec"]
+            margin = data.get("margin", 1.0)
+            smooth = data.get("smooth", 0.0)
+            negative_prompt = data.get("negative_prompt")
+            logger.info("resuming %s", save_path_root)
+
+        if prompts is None or seeds is None:
+            raise ValueError("prompts and seeds are required")
+        if len(prompts) != len(seeds):
+            raise ValueError("#prompts must equal #seeds")
+        if len(prompts) < 2:
+            raise ValueError("need at least 2 prompts to walk between")
+        if isinstance(num_interpolation_steps, int):
+            num_interpolation_steps = [num_interpolation_steps] * (
+                len(prompts) - 1)
+        if len(num_interpolation_steps) != len(prompts) - 1:
+            raise ValueError("len(num_interpolation_steps) must be "
+                             "len(prompts) - 1")
+
+        if not resume:
+            config_path.write_text(json.dumps(dict(
+                prompts=prompts, seeds=seeds,
+                num_interpolation_steps=num_interpolation_steps, fps=fps,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, eta=eta, upsample=upsample,
+                height=height, width=width, audio_filepath=audio_filepath,
+                audio_start_sec=audio_start_sec, margin=margin, smooth=smooth,
+                negative_prompt=negative_prompt,
+                scheduler=self.engine.scheduler_name,
+                tiled=self.models.tiled,
+                framework="stable_diffusion_videos_tpu",
+            ), indent=4, sort_keys=True))
+
+        audio_start_sec = audio_start_sec or 0.0
+        clip_pairs = list(zip(prompts, prompts[1:], seeds, seeds[1:],
+                              num_interpolation_steps))
+        for i, (prompt_a, prompt_b, seed_a, seed_b, num_step) in enumerate(
+                clip_pairs):
+            clip_name = f"{name}_{i:06d}"
+            clip_dir = save_path_root / clip_name
+            clip_mp4 = clip_dir / f"{clip_name}.mp4"
+
+            skip = 0
+            if resume:
+                if clip_mp4.exists():
+                    logger.info("skipping completed clip %s", clip_name)
+                    continue
+                if clip_dir.exists():
+                    existing = sorted(clip_dir.glob(f"frame*{image_file_ext}"))
+                    if existing:
+                        skip = int(existing[-1].stem.lstrip("frame")) + 1
+                        logger.info("resuming clip %s from frame %d",
+                                    clip_name, skip)
+                # NOTE: reference uses `skip + 1 >= num_step` here, silently
+                # dropping regeneration of the final frame
+                # (stable_diffusion_pipeline.py:750); we regenerate until all
+                # frames exist.
+                if skip >= num_step:
+                    logger.info("clip %s frames complete; encoding only",
+                                clip_name)
+
+            audio_offset = audio_start_sec + sum(
+                num_interpolation_steps[:i]) / fps
+            audio_duration = num_step / fps
+
+            if skip < num_step:
+                T = None
+                if audio_filepath:
+                    with self.timer.stage("audio"):
+                        T = get_timesteps_arr(audio_filepath,
+                                              offset=audio_offset,
+                                              duration=audio_duration,
+                                              fps=fps, margin=margin,
+                                              smooth=smooth)
+                self.make_clip_frames(
+                    prompt_a, prompt_b, seed_a, seed_b,
+                    num_interpolation_steps=num_step, save_path=clip_dir,
+                    num_inference_steps=num_inference_steps,
+                    guidance_scale=guidance_scale, eta=eta, height=height,
+                    width=width, upsample=upsample, batch_size=batch_size,
+                    image_file_ext=image_file_ext, T=T, skip=skip,
+                    negative_prompt=negative_prompt,
+                    step=(i, len(clip_pairs)))
+            if make_video:
+                with self.timer.stage("encode"):
+                    assemble(clip_dir,
+                             audio_filepath=audio_filepath,
+                             fps=fps, output_filepath=str(clip_mp4),
+                             audio_offset=audio_offset,
+                             audio_duration=audio_duration,
+                             glob_pattern=f"*{image_file_ext}")
+
+        self.timer.log("walk")
+        if make_video:
+            with self.timer.stage("encode"):
+                return assemble(
+                    save_path_root, audio_filepath=audio_filepath, fps=fps,
+                    output_filepath=str(save_path_root / f"{name}.mp4"),
+                    audio_offset=audio_start_sec,
+                    audio_duration=sum(num_interpolation_steps) / fps,
+                    glob_pattern=f"**/frame*{image_file_ext}")
+        return str(save_path_root)
+
+    # ------------------------------------------------------------------
+    def _ensure_upsampler(self):
+        if self.upsampler is None:
+            from .upsampling import RealESRGANModel
+            self.upsampler = RealESRGANModel.from_pretrained()
+
+    def __call__(self, *args, **kwargs):
+        """Single txt2img dispatch with precomputed embeddings/latents — the
+        reference's extended ``__call__`` (``stable_diffusion_pipeline.py:
+        191-455``).  See ``generate()``."""
+        return self.generate(*args, **kwargs)
+
+    def generate(self, prompt: Optional[Union[str, List[str]]] = None,
+                 height: Optional[int] = None, width: Optional[int] = None,
+                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
+                 eta: float = 0.0, latents: Optional[np.ndarray] = None,
+                 text_embeddings: Optional[np.ndarray] = None,
+                 negative_prompt: Optional[str] = None,
+                 seed: Optional[int] = None,
+                 output_type: str = "pil"):
+        """txt2img accepting precomputed ``text_embeddings`` and ``latents``
+        (the key reference extension enabling walks)."""
+        height = height or self.models.default_size
+        width = width or self.models.default_size
+        if text_embeddings is None:
+            if prompt is None:
+                raise ValueError("provide `prompt` or `text_embeddings`")
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            text_embeddings = self.engine.embed_text(prompts)
+        batch = text_embeddings.shape[0]
+        if latents is None:
+            shape = self._latent_shape(height, width)
+            latents = np.concatenate([
+                self.init_noise((seed or 0) + i, shape)
+                for i in range(batch)])
+        uncond = self.engine.embed_text(negative_prompt or "")
+        with self.timer.stage("denoise"):
+            images = self.engine.denoise_frames(
+                jax.numpy.asarray(text_embeddings), uncond,
+                jax.numpy.asarray(latents),
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, eta=eta)
+        self.timer.add_frames(len(images))
+        if output_type == "pil":
+            return self._postprocess(images)
+        return images

@@ -1,0 +1,191 @@
+"""The denoise engine — one sharded XLA program per walk dispatch.
+
+The reference's flax path compiles the 50-step CFG loop into one program via
+``fori_loop`` under ``pmap`` (``flax_stable_diffusion_pipeline.py:259-316,
+898-927``).  This engine keeps that property and extends it TPU-first:
+
+* text-embed -> CFG scan -> scheduler step -> VAE decode is ONE jitted,
+  mesh-sharded program (``lax.scan`` over host-precomputed scheduler tables);
+  the host only sees finished frames.
+* frames shard over the mesh ``data`` axis via ``NamedSharding`` (pjit) — no
+  pmap, no host-side shard/unshard reshapes, params replicated by sharding
+  spec.
+* compiled programs are cached per (scheduler, steps, h, w, batch-bucket);
+  guidance scale, eta (through the tables), and PRNG keys are traced — they
+  never retrigger compilation.  Batch bucketing bounds recompiles the same
+  way the reference's static pmap argnums did (``:898-902``) but without a
+  new compile per shape: batches pad up to the bucket.
+* ``denoise_frames_async`` returns the device array immediately so video
+  encode of batch N overlaps the denoise dispatch of batch N+1.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.schedulers import get_scheduler
+from ..core.schedulers.base import SchedTables
+from ..models.bundle import SDModels
+from ..models.safety import preprocess_for_safety
+from ..models.vae import AutoencoderKL
+from ..parallel.mesh import (batch_sharding, data_parallel_size, make_mesh,
+                             pad_to_multiple, replicate, replicated)
+
+logger = logging.getLogger("sdv_tpu")
+
+
+class Engine:
+    def __init__(self, models: SDModels, mesh=None, scheduler: str = "pndm",
+                 batch_bucket: Optional[int] = None):
+        self.models = models
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.scheduler_name = scheduler
+        self.sched = get_scheduler(scheduler)
+        #: dispatch batches are padded up to a multiple of this (defaults to
+        #: the data-parallel size) to bound recompilation
+        self.batch_bucket = batch_bucket or data_parallel_size(self.mesh)
+        self._params = replicate(self.mesh, models.params)
+        self._compiled: dict[tuple, Any] = {}
+        self._tables_cache: dict[tuple, Any] = {}
+        self._embed_fn = None
+        self._safety_fn = None
+
+    # ------------------------------------------------------------------
+    # text embedding
+    # ------------------------------------------------------------------
+    def embed_text(self, text, negative_prompt=None) -> jax.Array:
+        """Prompt(s) -> (B, 77, D) hidden states (cf. reference ``embed_text``,
+        ``stable_diffusion_pipeline.py:809-820``)."""
+        if self._embed_fn is None:
+            enc = self.models.text_encoder()
+            self._embed_fn = jax.jit(
+                lambda p, ids: enc.apply(p, ids)[0],
+                out_shardings=replicated(self.mesh))
+        texts = [text] if isinstance(text, str) else list(text)
+        ids = self.models.tokenizer(texts)["input_ids"]
+        return self._embed_fn(self._params["text_encoder"], jnp.asarray(ids))
+
+    # ------------------------------------------------------------------
+    # the hot program
+    # ------------------------------------------------------------------
+    def _tables(self, num_inference_steps: int, eta: float):
+        key = (self.scheduler_name, num_inference_steps, float(eta))
+        if key not in self._tables_cache:
+            kwargs = {}
+            if self.scheduler_name == "ddim":
+                kwargs["eta"] = float(eta)
+            self._tables_cache[key] = SchedTables(self.sched.make_tables(
+                self.models.scheduler_config, num_inference_steps, **kwargs))
+        return self._tables_cache[key]
+
+    def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int):
+        sched = self.sched
+        unet = self.models.unet()
+        vae = self.models.vae()
+        scale = self.models.vae_config.scaling_factor
+
+        def program(params, context, latents, guidance, tables, key):
+            lat = latents * sched.init_noise_sigma(tables)
+            state = sched.init_state(tables, latents.shape, key=key)
+            n_loop = sched.num_loop_steps(tables)
+
+            def body(carry, i):
+                lat, st = carry
+                t = sched.timestep(tables, i)
+                inp = sched.scale_model_input(tables, st, i, lat)
+                inp2 = jnp.concatenate([inp, inp], axis=0)  # CFG 2x batch
+                tb = jnp.broadcast_to(t, (inp2.shape[0],))
+                eps = unet.apply(params["unet"], inp2, tb, context)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance * (eps_c - eps_u)
+                st, lat = sched.step(tables, st, i, eps, lat)
+                return (lat, st), None
+
+            (lat, _), _ = jax.lax.scan(body, (lat, state),
+                                       jnp.arange(n_loop))
+            imgs = vae.apply(params["vae"], lat / scale,
+                             method=AutoencoderKL.decode)
+            return jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+        bs = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        # shardings are pytree prefixes: one spec per whole subtree
+        return jax.jit(
+            program,
+            in_shardings=(rep, bs, bs, rep, rep, rep),
+            out_shardings=bs,
+        )
+
+    def _get_compiled(self, batch, h, w, steps, ctx_len):
+        key = (batch, h, w, steps, ctx_len)
+        if key not in self._compiled:
+            logger.info("compiling denoise program %s", key)
+            self._compiled[key] = self._build(*key)
+        return self._compiled[key]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def denoise_frames_async(self, cond, uncond, noise, *,
+                             num_inference_steps: int = 50,
+                             guidance_scale: float = 7.5, eta: float = 0.0,
+                             key: Optional[jax.Array] = None):
+        """Launch one sharded dispatch; returns (device_array, valid_batch).
+
+        cond/uncond: (B, S, D) text embeddings; noise: (B, h, w, 4).
+        The batch is padded to the bucket size; callers slice ``[:valid]``
+        after transfer.
+        """
+        B = noise.shape[0]
+        Bp = pad_to_multiple(max(B, self.batch_bucket), self.batch_bucket)
+        if uncond.shape[0] == 1 and B > 1:
+            uncond = jnp.broadcast_to(uncond, (B,) + uncond.shape[1:])
+
+        def pad(x):
+            if x.shape[0] == Bp:
+                return jnp.asarray(x)
+            padding = [(0, Bp - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(jnp.asarray(x), padding)
+
+        cond_p, uncond_p, noise_p = pad(cond), pad(uncond), pad(noise)
+        context = jnp.concatenate([uncond_p, cond_p], axis=0)
+        # commit inputs to the batch sharding (embed outputs are replicated;
+        # jit requires arg shardings to match its in_shardings exactly)
+        bs = batch_sharding(self.mesh)
+        context = jax.device_put(context, bs)
+        noise_p = jax.device_put(noise_p, bs)
+        h, w = noise.shape[1], noise.shape[2]
+        tables = self._tables(num_inference_steps, eta)
+        fn = self._get_compiled(Bp, h, w, num_inference_steps, cond.shape[1])
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        imgs = fn(self._params, context, noise_p,
+                  jnp.float32(guidance_scale), tables, key)
+        return imgs, B
+
+    def denoise_frames(self, cond, uncond, noise, **kw) -> np.ndarray:
+        """Blocking variant -> float32 numpy (B, H, W, 3) in [0, 1]."""
+        imgs, valid = self.denoise_frames_async(cond, uncond, noise, **kw)
+        return np.asarray(imgs)[:valid]
+
+    # ------------------------------------------------------------------
+    # safety checker
+    # ------------------------------------------------------------------
+    def check_safety(self, images: np.ndarray) -> np.ndarray:
+        """(B,H,W,3) [0,1] frames -> bool flags; black out in the caller (cf.
+        reference ``flax_stable_diffusion_pipeline.py:420-441``)."""
+        checker = self.models.safety_checker()
+        if checker is None:
+            return np.zeros(images.shape[0], bool)
+        pix = preprocess_for_safety(jnp.asarray(images),
+                                    self.models.safety_config.vision.image_size)
+        if self._safety_fn is None:
+            self._safety_fn = jax.jit(checker.apply)
+        flags = self._safety_fn(self._params["safety_checker"], pix)
+        return np.asarray(flags)

@@ -1,0 +1,74 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_videos_tpu.ops.attention import xla_attention
+from stable_diffusion_videos_tpu.ops.flash_attention import flash_attention
+
+
+def _mk(b, s, h, d, sk=None, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    sk = sk or s
+    q = jax.random.normal(ks[0], (b, s, h, d), dtype)
+    k = jax.random.normal(ks[1], (b, sk, h, d), dtype)
+    v = jax.random.normal(ks[2], (b, sk, h, d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("b,s,h,d", [
+    (1, 256, 2, 40),    # SD level-0 head dim, small seq
+    (2, 512, 1, 64),
+    (1, 1024, 2, 160),  # SD level-2 head dim
+])
+def test_flash_matches_xla(b, s, h, d):
+    q, k, v = _mk(b, s, h, d)
+    want = np.asarray(xla_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True,
+                                     tile_q=128, tile_k=128))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_multi_k_tiles_online_softmax():
+    # k tiles > 1 exercises the online-softmax rescaling path
+    q, k, v = _mk(1, 512, 1, 64, seed=3)
+    want = np.asarray(xla_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True,
+                                     tile_q=128, tile_k=128))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_cross_attention_shapes():
+    # cross-attention: Sq=1024 image tokens, Sk=128 text tokens (padded 77
+    # falls back to XLA; aligned 128 goes through pallas)
+    q, k, v = _mk(1, 1024, 2, 40, sk=128, seed=4)
+    want = np.asarray(xla_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True,
+                                     tile_q=256, tile_k=128))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_ragged_keys_falls_back():
+    q, k, v = _mk(1, 128, 1, 32, sk=77, seed=5)
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    want = np.asarray(xla_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_unaligned_q_padding():
+    q, k, v = _mk(1, 300, 1, 64, sk=256, seed=6)
+    got = np.asarray(flash_attention(q, k, v, interpret=True,
+                                     tile_q=128, tile_k=128))
+    want = np.asarray(xla_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16():
+    q, k, v = _mk(1, 256, 2, 64, dtype=jnp.bfloat16, seed=7)
+    got = np.asarray(flash_attention(q, k, v, interpret=True,
+                                     tile_q=128, tile_k=128),
+                     dtype=np.float32)
+    want = np.asarray(xla_attention(q, k, v), dtype=np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)

@@ -1,0 +1,157 @@
+"""End-to-end walk() tests on the tiny bundle + 8-device CPU mesh.
+
+Mirrors the reference's three integration tests (tests/test_pipeline.py:41-81)
+but CPU-runnable with numerical assertions, plus resume and determinism
+checks the reference never had (SURVEY.md §4).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
+    return StableDiffusionWalkPipeline.tiny()
+
+
+@pytest.fixture
+def run_dir(tmp_path):
+    return tmp_path / "dreams"
+
+
+def _frame_count(mp4_path):
+    import cv2
+    cap = cv2.VideoCapture(str(mp4_path))
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    return n
+
+
+def test_walk_basic(pipeline, run_dir):
+    video = pipeline.walk(
+        prompts=["a", "b", "c"], seeds=[42, 1337, 4321],
+        num_interpolation_steps=3, num_inference_steps=3, fps=5,
+        output_dir=str(run_dir), name="basic", batch_size=4)
+    video = Path(video)
+    assert video.exists() and video.name == "basic.mp4"
+    # 2 clips x 3 frames
+    frames = sorted((run_dir / "basic").glob("**/frame*.png"))
+    assert len(frames) == 6
+    assert _frame_count(video) == 6
+    # per-clip mp4s
+    assert (run_dir / "basic" / "basic_000000" / "basic_000000.mp4").exists()
+    cfg = json.loads((run_dir / "basic" / "prompt_config.json").read_text())
+    assert cfg["prompts"] == ["a", "b", "c"]
+    assert cfg["num_interpolation_steps"] == [3, 3]
+
+
+def test_walk_deterministic(pipeline, run_dir):
+    from PIL import Image
+    for name in ("d1", "d2"):
+        pipeline.walk(prompts=["x", "y"], seeds=[7, 8],
+                      num_interpolation_steps=2, num_inference_steps=2,
+                      fps=2, output_dir=str(run_dir), name=name,
+                      make_video=False)
+    a = np.asarray(Image.open(next((run_dir / "d1").glob("**/frame000001.png"))))
+    b = np.asarray(Image.open(next((run_dir / "d2").glob("**/frame000001.png"))))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_walk_endpoint_frames_differ(pipeline, run_dir):
+    from PIL import Image
+    pipeline.walk(prompts=["qq", "zz"], seeds=[1, 2],
+                  num_interpolation_steps=3, num_inference_steps=2, fps=2,
+                  output_dir=str(run_dir), name="ends", make_video=False)
+    clip = run_dir / "ends" / "ends_000000"
+    f0 = np.asarray(Image.open(clip / "frame000000.png"), np.int32)
+    f2 = np.asarray(Image.open(clip / "frame000002.png"), np.int32)
+    assert np.abs(f0 - f2).max() > 0  # interpolation actually moves
+
+
+def test_walk_with_audio(pipeline, run_dir, tmp_path):
+    from stable_diffusion_videos_tpu.audio import save_wav
+    sr = 22050
+    t = np.arange(2 * sr) / sr
+    y = 0.1 * np.sin(2 * np.pi * 220 * t)
+    for beat in (0.3, 0.9, 1.5):
+        i = int(beat * sr)
+        y[i:i + 200] += 0.8 * np.hanning(200)
+    wav = tmp_path / "beats.wav"
+    save_wav(wav, y, sr)
+
+    video = pipeline.walk(
+        prompts=["m", "n"], seeds=[5, 6], num_interpolation_steps=6,
+        num_inference_steps=2, fps=3, output_dir=str(run_dir), name="audio",
+        audio_filepath=str(wav), audio_start_sec=0, batch_size=4)
+    assert Path(video).exists()
+    frames = sorted((run_dir / "audio").glob("**/frame*.png"))
+    assert len(frames) == 6
+
+
+def test_walk_resume(pipeline, run_dir):
+    pipeline.walk(prompts=["r1", "r2", "r3"], seeds=[11, 12, 13],
+                  num_interpolation_steps=2, num_inference_steps=2, fps=2,
+                  output_dir=str(run_dir), name="res")
+    # delete the final clip's video + one frame -> resume must regenerate
+    clip1 = run_dir / "res" / "res_000001"
+    (clip1 / "res_000001.mp4").unlink()
+    (clip1 / "frame000001.png").unlink()
+    (run_dir / "res" / "res.mp4").unlink()
+
+    video = pipeline.walk(resume=True, output_dir=str(run_dir), name="res")
+    assert Path(video).exists()
+    assert (clip1 / "frame000001.png").exists()
+    assert (clip1 / "res_000001.mp4").exists()
+
+
+def test_walk_resume_requires_config(pipeline, run_dir):
+    with pytest.raises(FileNotFoundError):
+        pipeline.walk(resume=True, output_dir=str(run_dir), name="nope")
+
+
+def test_walk_arg_validation(pipeline, run_dir):
+    with pytest.raises(ValueError):
+        pipeline.walk(prompts=["a"], seeds=[1], output_dir=str(run_dir))
+    with pytest.raises(ValueError):
+        pipeline.walk(prompts=["a", "b"], seeds=[1], output_dir=str(run_dir))
+    with pytest.raises(ValueError):
+        pipeline.walk(prompts=["a", "b", "c"], seeds=[1, 2, 3],
+                      num_interpolation_steps=[2], output_dir=str(run_dir))
+
+
+def test_walk_upsample(pipeline, run_dir):
+    from stable_diffusion_videos_tpu.pipeline import RealESRGANModel
+    pipeline.upsampler = RealESRGANModel.tiny()
+    try:
+        pipeline.walk(prompts=["u1", "u2"], seeds=[3, 4],
+                      num_interpolation_steps=2, num_inference_steps=2,
+                      fps=2, output_dir=str(run_dir), name="up",
+                      upsample=True, make_video=False)
+        from PIL import Image
+        frame = next((run_dir / "up").glob("**/frame000000.png"))
+        w, h = Image.open(frame).size
+        assert (w, h) == (4 * pipeline.models.default_size,) * 2
+    finally:
+        pipeline.upsampler = None
+
+
+def test_generate_images(pipeline, tmp_path):
+    from stable_diffusion_videos_tpu.pipeline import generate_images
+    paths = generate_images(pipeline, "a painting", batch_size=2,
+                            num_batches=2, seeds=[1, 2, 3, 4],
+                            num_inference_steps=2,
+                            output_dir=str(tmp_path / "imgs"), name="run")
+    assert len(paths) == 4
+    assert all(Path(p).exists() for p in paths)
+    names = {Path(p).stem for p in paths}
+    assert names == {"1", "2", "3", "4"}
+
+
+def test_call_generate_single(pipeline):
+    imgs = pipeline(prompt="hello", num_inference_steps=2, output_type="np")
+    assert imgs.shape[0] == 1 and imgs.shape[-1] == 3
+    assert np.isfinite(imgs).all()

@@ -1,0 +1,134 @@
+"""Weight converter tests.
+
+1. Round-trip: our params -> diffusers-named state dict -> back must be the
+   identity (names, shapes, values), for UNet, VAE and CLIP text.
+2. Numerical parity: our CLIP text encoder with weights converted FROM a real
+   ``transformers.CLIPTextModel`` (random-init, tiny config) must reproduce
+   its hidden states — true cross-framework validation, since transformers
+   IS the library the reference uses for this model (SURVEY.md §2.2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_videos_tpu.models import (AutoencoderKL, CLIPTextConfig,
+                                                CLIPTextEncoder,
+                                                UNet2DCondition, UNetConfig,
+                                                VAEConfig)
+from stable_diffusion_videos_tpu.models import weights as W
+
+
+def _tree_equal(a, b, path=""):
+    assert set(a.keys()) == set(b.keys()), (
+        f"{path}: {set(a) ^ set(b)} differ")
+    for k in a:
+        if isinstance(a[k], dict):
+            _tree_equal(a[k], b[k], f"{path}/{k}")
+        else:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=f"{path}/{k}")
+
+
+def test_unet_roundtrip():
+    cfg = UNetConfig.tiny()
+    model = UNet2DCondition(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                        jnp.zeros((1,)), jnp.zeros((1, 7, 32)))
+    sd = W.export_unet(params, cfg)
+    back = W.convert_unet(sd, cfg)
+    _tree_equal(jax.tree.map(np.asarray, dict(params)), back)
+
+
+def test_vae_roundtrip():
+    cfg = VAEConfig.tiny()
+    model = AutoencoderKL(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    sd = W.export_vae(params, cfg)
+    back = W.convert_vae(sd, cfg)
+    _tree_equal(jax.tree.map(np.asarray, dict(params)), back)
+
+
+def test_text_encoder_roundtrip():
+    cfg = CLIPTextConfig.tiny()
+    model = CLIPTextEncoder(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    sd = W.export_text_encoder(params, cfg)
+    back = W.convert_text_encoder(sd, cfg)
+    _tree_equal(jax.tree.map(np.asarray, dict(params)), back)
+
+
+def test_clip_text_parity_vs_transformers():
+    """Convert weights from a real transformers CLIPTextModel and compare
+    forward outputs — validates naming AND math against the ground truth."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="quick_gelu")
+    torch.manual_seed(0)
+    hf_model = transformers.CLIPTextModel(hf_cfg).eval()
+
+    ids = np.array([[49406 % 100, 5, 9, 3, 49407 % 100] + [0] * 72,
+                    [2, 7, 1, 49407 % 100, 0] + [0] * 72], np.int32)
+    with torch.no_grad():
+        want = hf_model(torch.tensor(ids, dtype=torch.long)
+                        ).last_hidden_state.numpy()
+
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32,
+                         intermediate_size=64, num_layers=2, num_heads=2)
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    params = W._to_jnp(W.convert_text_encoder(sd, cfg))
+    got, _ = CLIPTextEncoder(cfg).apply(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-4)
+
+
+def test_unet_config_from_json_sd14():
+    cfg = W._unet_config_from_json({
+        "sample_size": 64, "in_channels": 4, "out_channels": 4,
+        "block_out_channels": [320, 640, 1280, 1280],
+        "layers_per_block": 2, "cross_attention_dim": 768,
+        "attention_head_dim": 8,
+        "down_block_types": ["CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+                             "CrossAttnDownBlock2D", "DownBlock2D"],
+    })
+    assert cfg.block_out_channels == (320, 640, 1280, 1280)
+    assert cfg.attn_levels == (True, True, True, False)
+
+
+def test_rrdbnet_roundtrip_shapes():
+    """Converter accepts a synthetic RealESRGAN-style state dict."""
+    from stable_diffusion_videos_tpu.models.rrdbnet import (RRDBNet,
+                                                            RRDBNetConfig)
+    cfg = RRDBNetConfig.tiny()
+    # build a synthetic torch-style state dict with the official names
+    rng = np.random.default_rng(0)
+
+    def conv(o, i):
+        return rng.standard_normal((o, i, 3, 3), np.float32)
+
+    nf, g = cfg.num_feat, cfg.num_grow_ch
+    sd = {"conv_first.weight": conv(nf, 3), "conv_first.bias": np.zeros(nf, np.float32)}
+    for name, (o, i) in {"conv_body": (nf, nf), "conv_up1": (nf, nf),
+                         "conv_up2": (nf, nf), "conv_hr": (nf, nf),
+                         "conv_last": (3, nf)}.items():
+        sd[f"{name}.weight"] = conv(o, i)
+        sd[f"{name}.bias"] = np.zeros(o, np.float32)
+    for b in range(cfg.num_block):
+        for r in (1, 2, 3):
+            for c in range(1, 6):
+                i = nf + (c - 1) * g
+                o = g if c < 5 else nf
+                sd[f"body.{b}.rdb{r}.conv{c}.weight"] = conv(o, i)
+                sd[f"body.{b}.rdb{r}.conv{c}.bias"] = np.zeros(o, np.float32)
+
+    params = W._to_jnp(W.convert_rrdbnet(sd, cfg))
+    ref = RRDBNet(cfg).init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    got_shapes = jax.tree.map(lambda x: x.shape, params)
+    want_shapes = jax.tree.map(lambda x: x.shape, dict(ref))
+    assert got_shapes == want_shapes
+    out = RRDBNet(cfg).apply(params, jnp.zeros((1, 8, 8, 3)))
+    assert out.shape == (1, 32, 32, 3)
