@@ -8,8 +8,11 @@ time, so encode overlaps generation and memory stays O(1 frame).
 Backend ladder (first available wins):
 1. ``ffmpeg`` subprocess pipe — H.264 crf=10 yuv420p + AAC audio mux,
    byte-compatible with the reference's output settings (``utils.py:111-126``).
-2. OpenCV ``VideoWriter`` (mp4v) — no external binary needed; audio is
-   written as a sidecar ``.wav`` (no muxer without ffmpeg) with a warning.
+2. the native sink (``native/sdv_media.cpp`` via ctypes) — threaded MJPEG
+   encode + our own RIFF/AVI muxer with interleaved PCM audio; selected when
+   audio must be muxed and ffmpeg is absent (output becomes ``.avi``).
+3. OpenCV ``VideoWriter`` (mp4v) — silent video; audio falls back to a
+   sidecar ``.wav`` with a warning.
 
 ``make_video`` / ``make_video_pyav`` keep the reference's signature.
 """
@@ -44,13 +47,30 @@ class FrameWriter:
         self._n = 0
         self._proc = None
         self._cv2 = None
+        self._native = None
         self._shape = None
         if backend is None:
-            backend = "ffmpeg" if _find_ffmpeg() else "cv2"
+            if _find_ffmpeg():
+                backend = "ffmpeg"
+            else:
+                from .native_sink import native_available
+                if audio is not None and native_available():
+                    backend = "native"  # only audio-muxing option w/o ffmpeg
+                else:
+                    backend = "cv2"
+        if backend == "native":
+            # our muxer writes a RIFF/AVI container
+            self.output_filepath = str(Path(self.output_filepath)
+                                       .with_suffix(".avi"))
         self.backend = backend
 
     def _open(self, h: int, w: int):
-        if self.backend == "ffmpeg":
+        if self.backend == "native":
+            from .native_sink import NativeAviSink
+            self._native = NativeAviSink(
+                self.output_filepath, w, h, fps=self.fps, audio=self.audio,
+                audio_sr=self.audio_sr)
+        elif self.backend == "ffmpeg":
             cmd = [_find_ffmpeg(), "-y", "-loglevel", "error",
                    "-f", "rawvideo", "-pix_fmt", "rgb24",
                    "-s", f"{w}x{h}", "-r", str(self.fps), "-i", "-"]
@@ -87,7 +107,9 @@ class FrameWriter:
         if self._shape is None:
             self._shape = (h, w)
             self._open(h, w)
-        if self.backend == "ffmpeg":
+        if self.backend == "native":
+            self._native.add_frame(frame)
+        elif self.backend == "ffmpeg":
             self._proc.stdin.write(frame.tobytes())
         else:
             import cv2
@@ -95,7 +117,10 @@ class FrameWriter:
         self._n += 1
 
     def close(self) -> str:
-        if self.backend == "ffmpeg" and self._proc is not None:
+        if self.backend == "native":
+            if self._native is not None:
+                self._native.close()
+        elif self.backend == "ffmpeg" and self._proc is not None:
             self._proc.stdin.close()
             ret = self._proc.wait()
             if getattr(self, "_audio_tmp", None):

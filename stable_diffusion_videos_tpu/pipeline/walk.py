@@ -303,6 +303,14 @@ class StableDiffusionWalkPipeline:
 
             skip = 0
             if resume:
+                # the assembler may emit .mp4 (ffmpeg/cv2) or .avi (native
+                # muxer) — a completed clip is one with any video container
+                if not clip_mp4.exists():
+                    hits = list(clip_dir.glob(f"{clip_name}.*")) \
+                        if clip_dir.exists() else []
+                    vids = [p for p in hits if p.suffix in (".mp4", ".avi")]
+                    if vids:
+                        clip_mp4 = vids[0]
                 if clip_mp4.exists():
                     logger.info("skipping completed clip %s", clip_name)
                     continue
