@@ -1,0 +1,144 @@
+"""CLI: ``python -m stable_diffusion_videos_tpu <command>``.
+
+The reference declares the ``fire`` CLI dependency but never ships a CLI
+(SURVEY.md §2.1 #1, ``pyproject.toml:16``); this is the real one.
+
+Commands: walk, images, upsample, app, bench.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(ap):
+    ap.add_argument("--checkpoint", default=None,
+                    help="local diffusers-layout SD v1.x dir (omit for tiny "
+                         "random model)")
+    ap.add_argument("--scheduler", default="pndm",
+                    choices=["pndm", "ddim", "lms", "euler",
+                             "euler_ancestral", "dpm"])
+    ap.add_argument("--tiled", action="store_true",
+                    help="circular convs -> seamlessly tileable frames")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--guidance-scale", type=float, default=7.5)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--negative-prompt", default=None)
+
+
+def _pipeline(args):
+    from .pipeline import StableDiffusionWalkPipeline
+    if args.checkpoint is None:
+        print("no --checkpoint: using random tiny model (smoke mode)",
+              file=sys.stderr)
+        return StableDiffusionWalkPipeline.tiny(scheduler=args.scheduler)
+    return StableDiffusionWalkPipeline.from_pretrained(
+        args.checkpoint, scheduler=args.scheduler, tiled=args.tiled)
+
+
+def cmd_walk(args):
+    pipe = _pipeline(args)
+    video = pipe.walk(
+        prompts=args.prompts, seeds=args.seeds,
+        num_interpolation_steps=(args.interpolation_steps[0]
+                                 if len(args.interpolation_steps) == 1
+                                 else args.interpolation_steps),
+        output_dir=args.output_dir, name=args.name, fps=args.fps,
+        num_inference_steps=args.steps, guidance_scale=args.guidance_scale,
+        height=args.height, width=args.width, upsample=args.upsample,
+        batch_size=args.batch_size, resume=args.resume,
+        audio_filepath=args.audio, audio_start_sec=args.audio_start_sec,
+        margin=args.margin, smooth=args.smooth,
+        negative_prompt=args.negative_prompt)
+    print(video)
+
+
+def cmd_images(args):
+    from .pipeline import generate_images
+    pipe = _pipeline(args)
+    paths = generate_images(
+        pipe, args.prompt, batch_size=args.batch_size,
+        num_batches=args.num_batches, seeds=args.seeds,
+        num_inference_steps=args.steps, guidance_scale=args.guidance_scale,
+        output_dir=args.output_dir, name=args.name, upsample=args.upsample,
+        height=args.height, width=args.width,
+        negative_prompt=args.negative_prompt,
+        push_to_hub=args.push_to_hub, repo_id=args.repo_id)
+    print("\n".join(paths))
+
+
+def cmd_upsample(args):
+    from .pipeline import RealESRGANModel
+    model = RealESRGANModel.from_pretrained(args.weights, tile=args.tile)
+    model.upsample_imagefolder(args.input_dir, args.output_dir)
+
+
+def cmd_app(args):
+    from .app import Interface
+    Interface(_pipeline(args)).launch(share=args.share)
+
+
+def cmd_bench(args):
+    import runpy
+    from pathlib import Path
+    bench = Path(__file__).resolve().parents[1] / "bench.py"
+    runpy.run_path(str(bench), run_name="__main__")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="stable_diffusion_videos_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    w = sub.add_parser("walk", help="prompt-walk video")
+    _add_common(w)
+    w.add_argument("--prompts", nargs="+", required=True)
+    w.add_argument("--seeds", nargs="+", type=int, required=True)
+    w.add_argument("--interpolation-steps", nargs="+", type=int, default=[30])
+    w.add_argument("--output-dir", default="./dreams")
+    w.add_argument("--name", default=None)
+    w.add_argument("--fps", type=int, default=30)
+    w.add_argument("--upsample", action="store_true")
+    w.add_argument("--resume", action="store_true")
+    w.add_argument("--audio", default=None)
+    w.add_argument("--audio-start-sec", type=float, default=None)
+    w.add_argument("--margin", type=float, default=1.0)
+    w.add_argument("--smooth", type=float, default=0.0)
+    w.set_defaults(fn=cmd_walk)
+
+    im = sub.add_parser("images", help="batch image generation")
+    _add_common(im)
+    im.add_argument("--prompt", required=True)
+    im.add_argument("--num-batches", type=int, default=1)
+    im.add_argument("--seeds", nargs="+", type=int, default=None)
+    im.add_argument("--output-dir", default="./images")
+    im.add_argument("--name", default=None)
+    im.add_argument("--upsample", action="store_true")
+    im.add_argument("--push-to-hub", action="store_true")
+    im.add_argument("--repo-id", default=None)
+    im.set_defaults(fn=cmd_images)
+
+    up = sub.add_parser("upsample", help="4x Real-ESRGAN an image folder")
+    up.add_argument("--weights", required=True,
+                    help="RealESRGAN_x4plus.pth path")
+    up.add_argument("--input-dir", required=True)
+    up.add_argument("--output-dir", required=True)
+    up.add_argument("--tile", type=int, default=0)
+    up.set_defaults(fn=cmd_upsample)
+
+    app = sub.add_parser("app", help="launch the gradio UI")
+    _add_common(app)
+    app.add_argument("--share", action="store_true")
+    app.set_defaults(fn=cmd_app)
+
+    b = sub.add_parser("bench", help="run the standard benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Coverage for rng parity, hub helpers, engine behaviors, lazy API."""
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# torch-compatible noise
+# ---------------------------------------------------------------------------
+
+def test_noise_for_seed_torch_parity():
+    torch = pytest.importorskip("torch")
+    from stable_diffusion_videos_tpu.core.rng import noise_for_seed
+    got = noise_for_seed(1234, (2, 4, 4, 3), impl="torch")
+    g = torch.Generator(device="cpu").manual_seed(1234)
+    want = torch.randn((2, 3, 4, 4), generator=g).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_noise_for_seed_jax_deterministic():
+    from stable_diffusion_videos_tpu.core.rng import noise_for_seed
+    a = noise_for_seed(7, (1, 8, 8, 4), impl="jax")
+    b = noise_for_seed(7, (1, 8, 8, 4), impl="jax")
+    np.testing.assert_array_equal(a, b)
+    c = noise_for_seed(8, (1, 8, 8, 4), impl="jax")
+    assert np.abs(a - c).max() > 0
+
+
+def test_noise_for_seed_bad_impl():
+    from stable_diffusion_videos_tpu.core.rng import noise_for_seed
+    with pytest.raises(ValueError):
+        noise_for_seed(0, (1, 2, 2, 1), impl="cuda")
+
+
+# ---------------------------------------------------------------------------
+# hub helpers
+# ---------------------------------------------------------------------------
+
+def test_get_groups_of_n():
+    from stable_diffusion_videos_tpu.hub import get_groups_of_n
+    groups = list(get_groups_of_n(3, range(8)))
+    assert groups == [[0, 1, 2], [3, 4, 5], [6, 7]]
+    assert list(get_groups_of_n(1, range(2))) == [[0], [1]]
+    with pytest.raises(ValueError):
+        list(get_groups_of_n(0, range(2)))
+
+
+def test_get_all_files(tmp_path):
+    from stable_diffusion_videos_tpu.hub import get_all_files
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "x.txt").write_text("1")
+    (tmp_path / "b.txt").write_text("2")
+    files = sorted(p.name for p in get_all_files(tmp_path))
+    assert files == ["b.txt", "x.txt"]
+
+
+def test_upload_folder_requires_existing_dir(tmp_path):
+    from stable_diffusion_videos_tpu.hub import upload_folder_chunked
+    with pytest.raises(ValueError):
+        upload_folder_chunked("x/y", tmp_path / "missing")
+
+
+# ---------------------------------------------------------------------------
+# lazy package API (reference __init__.py:99-119 parity)
+# ---------------------------------------------------------------------------
+
+def test_public_api_symbols():
+    import stable_diffusion_videos_tpu as pkg
+    for sym in ("Interface", "generate_images", "generate_images_flax",
+                "upload_folder_chunked", "StableDiffusionWalkPipeline",
+                "make_video_pyav", "get_timesteps_arr",
+                "FlaxStableDiffusionWalkPipeline", "RealESRGANModel"):
+        assert sym in pkg.__all__
+    assert callable(pkg.get_timesteps_arr)
+    assert pkg.__version__
+
+
+def test_unknown_attribute_raises():
+    import stable_diffusion_videos_tpu as pkg
+    with pytest.raises(AttributeError):
+        pkg.not_a_symbol
+
+
+# ---------------------------------------------------------------------------
+# engine behaviors
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def engine():
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.runtime import Engine
+    return Engine(SDModels.tiny(), scheduler="ddim")
+
+
+def test_engine_bucketing_single_program(engine):
+    import jax.numpy as jnp
+    cond = engine.embed_text(["a", "b", "c"])
+    uncond = engine.embed_text("")
+    for b in (1, 3, 2):
+        noise = jnp.zeros((b, 8, 8, 4))
+        imgs = engine.denoise_frames(cond[:b], uncond, noise,
+                                     num_inference_steps=2)
+        assert imgs.shape[0] == b
+    assert len(engine._compiled) == 1  # all batches hit one bucket
+
+
+def test_engine_eta_does_not_recompile(engine):
+    import jax.numpy as jnp
+    cond = engine.embed_text(["a"])
+    uncond = engine.embed_text("")
+    n0 = len(engine._compiled)
+    engine.denoise_frames(cond, uncond, jnp.zeros((1, 8, 8, 4)),
+                          num_inference_steps=2, eta=0.0)
+    engine.denoise_frames(cond, uncond, jnp.zeros((1, 8, 8, 4)),
+                          num_inference_steps=2, eta=0.5)
+    assert len(engine._compiled) == n0 or len(engine._compiled) == 1
+
+
+def test_engine_no_safety_checker_is_noop(engine):
+    flags = engine.check_safety(np.zeros((3, 16, 16, 3), np.float32))
+    assert flags.shape == (3,) and not flags.any()
+
+
+def test_engine_guidance_changes_output(engine):
+    import jax.numpy as jnp
+    cond = engine.embed_text(["zebra"])
+    uncond = engine.embed_text("")
+    noise = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 8, 8, 4), np.float32))
+    a = engine.denoise_frames(cond, uncond, noise, num_inference_steps=2,
+                              guidance_scale=1.0)
+    b = engine.denoise_frames(cond, uncond, noise, num_inference_steps=2,
+                              guidance_scale=9.0)
+    assert np.abs(a - b).max() > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+
+def test_stage_timer_summary():
+    import time
+
+    from stable_diffusion_videos_tpu.utils import StageTimer
+    t = StageTimer()
+    with t.stage("denoise"):
+        time.sleep(0.01)
+    t.add_frames(5)
+    s = t.summary()
+    assert s["frames"] == 5
+    assert s["stages_s"]["denoise"] >= 0.01
+    assert s["frames_per_s_denoise"] > 0
