@@ -50,7 +50,16 @@ class Engine:
         #: dispatch batches are padded up to a multiple of this (defaults to
         #: the data-parallel size) to bound recompilation
         self.batch_bucket = batch_bucket or data_parallel_size(self.mesh)
-        self._params = replicate(self.mesh, models.params)
+        if self.mesh.shape.get("model", 1) > 1:
+            # Megatron-style TP over the model axis (parallel/tp.py); XLA
+            # SPMD propagation inserts the psum collectives
+            from ..parallel.tp import shard_params
+            self._params, self._param_shardings = shard_params(
+                self.mesh, models.params)
+        else:
+            self._params = replicate(self.mesh, models.params)
+            self._param_shardings = jax.tree.map(
+                lambda _: replicated(self.mesh), self._params)
         self._compiled: dict[tuple, Any] = {}
         self._tables_cache: dict[tuple, Any] = {}
         self._embed_fn = None
@@ -115,10 +124,11 @@ class Engine:
 
         bs = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
-        # shardings are pytree prefixes: one spec per whole subtree
+        # shardings are pytree prefixes: one spec per whole subtree (params
+        # carry their own full tree — TP-sharded or replicated)
         return jax.jit(
             program,
-            in_shardings=(rep, bs, bs, rep, rep, rep),
+            in_shardings=(self._param_shardings, bs, bs, rep, rep, rep),
             out_shardings=bs,
         )
 
