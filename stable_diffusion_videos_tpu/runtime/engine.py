@@ -163,6 +163,7 @@ class Engine:
             padding = [(0, Bp - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
             return jnp.pad(jnp.asarray(x), padding)
 
+        from ..utils.profiling import trace as _trace
         cond_p, uncond_p, noise_p = pad(cond), pad(uncond), pad(noise)
         context = jnp.concatenate([uncond_p, cond_p], axis=0)
         # commit inputs to the batch sharding (embed outputs are replicated;
@@ -175,8 +176,9 @@ class Engine:
         fn = self._get_compiled(Bp, h, w, num_inference_steps, cond.shape[1])
         if key is None:
             key = jax.random.PRNGKey(0)
-        imgs = fn(self._params, context, noise_p,
-                  jnp.float32(guidance_scale), tables, key)
+        with _trace("denoise_dispatch"):
+            imgs = fn(self._params, context, noise_p,
+                      jnp.float32(guidance_scale), tables, key)
         return imgs, B
 
     def denoise_frames(self, cond, uncond, noise, **kw) -> np.ndarray:

@@ -1,0 +1,79 @@
+"""Frame-parity metrics: PSNR + SSIM (numpy, no model weights needed).
+
+BASELINE.md gates parity on LPIPS, but LPIPS needs pretrained AlexNet/VGG
+features (no network egress here); SSIM/PSNR are the self-contained proxies.
+``compare_frame_dirs`` scores two directories of generated frames (e.g. this
+framework vs the reference pipeline run elsewhere) frame by frame.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from scipy.ndimage import uniform_filter
+
+
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range ** 2 / mse))
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0,
+         win: int = 7, k1: float = 0.01, k2: float = 0.03) -> float:
+    """Mean structural similarity (uniform window, per-channel averaged)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    vals = []
+    for ch in range(a.shape[-1]):
+        x, y = a[..., ch], b[..., ch]
+        mx = uniform_filter(x, win)
+        my = uniform_filter(y, win)
+        mxx = uniform_filter(x * x, win)
+        myy = uniform_filter(y * y, win)
+        mxy = uniform_filter(x * y, win)
+        vx = mxx - mx * mx
+        vy = myy - my * my
+        cxy = mxy - mx * my
+        s = ((2 * mx * my + c1) * (2 * cxy + c2)) / (
+            (mx ** 2 + my ** 2 + c1) * (vx + vy + c2))
+        pad = win // 2
+        vals.append(s[pad:-pad, pad:-pad].mean())
+    return float(np.mean(vals))
+
+
+def compare_frame_dirs(dir_a, dir_b, glob: str = "**/frame*.png") -> dict:
+    """Match frames by filename; returns per-metric mean/min + worst frame."""
+    from PIL import Image
+    a_frames = {p.name: p for p in Path(dir_a).glob(glob)}
+    b_frames = {p.name: p for p in Path(dir_b).glob(glob)}
+    common = sorted(a_frames.keys() & b_frames.keys())
+    if not common:
+        raise ValueError("no common frame filenames between the two dirs")
+    psnrs, ssims = [], []
+    for name in common:
+        ia = np.asarray(Image.open(a_frames[name]).convert("RGB"))
+        ib = np.asarray(Image.open(b_frames[name]).convert("RGB"))
+        if ia.shape != ib.shape:
+            raise ValueError(f"{name}: shape {ia.shape} vs {ib.shape}")
+        psnrs.append(psnr(ia, ib))
+        ssims.append(ssim(ia, ib))
+    worst = int(np.argmin(ssims))
+    return {
+        "frames": len(common),
+        "psnr_mean": round(float(np.mean(psnrs)), 3),
+        "psnr_min": round(float(np.min(psnrs)), 3),
+        "ssim_mean": round(float(np.mean(ssims)), 5),
+        "ssim_min": round(float(np.min(ssims)), 5),
+        "worst_frame": common[worst],
+        "missing_in_a": sorted(b_frames.keys() - a_frames.keys())[:5],
+        "missing_in_b": sorted(a_frames.keys() - b_frames.keys())[:5],
+    }

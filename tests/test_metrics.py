@@ -1,0 +1,49 @@
+"""Parity metric tests (PSNR/SSIM + frame-dir comparison)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from stable_diffusion_videos_tpu.utils.metrics import (compare_frame_dirs,
+                                                       psnr, ssim)
+
+
+def test_psnr_identity_and_noise(rng):
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.float64)
+    assert psnr(img, img) == float("inf")
+    noisy = img + rng.normal(0, 5, img.shape)
+    p = psnr(img, noisy)
+    assert 25 < p < 45
+
+
+def test_ssim_bounds(rng):
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.float64)
+    assert ssim(img, img) == pytest.approx(1.0, abs=1e-9)
+    inverted = 255 - img
+    assert ssim(img, inverted) < 0.3
+    slightly = np.clip(img + rng.normal(0, 2, img.shape), 0, 255)
+    assert ssim(img, slightly) > 0.9
+
+
+def test_compare_frame_dirs(tmp_path, rng):
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    for i in range(3):
+        img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        Image.fromarray(img).save(a / f"frame{i:06d}.png")
+        jitter = np.clip(img.astype(int) + rng.integers(-2, 3, img.shape),
+                         0, 255).astype(np.uint8)
+        Image.fromarray(jitter).save(b / f"frame{i:06d}.png")
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(b / "frame9.png")
+    out = compare_frame_dirs(a, b, glob="frame*.png")
+    assert out["frames"] == 3
+    assert out["psnr_mean"] > 35
+    assert out["ssim_mean"] > 0.9
+    assert out["missing_in_a"] == ["frame9.png"]
+
+
+def test_compare_frame_dirs_no_overlap(tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    with pytest.raises(ValueError):
+        compare_frame_dirs(a, b)
