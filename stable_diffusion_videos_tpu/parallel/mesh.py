@@ -66,3 +66,14 @@ def pad_to_multiple(n: int, multiple: int) -> int:
     """Smallest m >= n with m % multiple == 0 (batch padding for even
     sharding; cf. reference ``pad_along_axis``, ``utils.py:131-136``)."""
     return ((n + multiple - 1) // multiple) * multiple
+
+
+def pad_along_axis(array: np.ndarray, pad_size: int,
+                   axis: int = 0) -> np.ndarray:
+    """Zero-pad ``pad_size`` trailing entries on ``axis`` (reference
+    ``utils.py:131-136`` API parity; the engine normally pads inside jit)."""
+    if pad_size <= 0:
+        return array
+    widths = [(0, 0)] * array.ndim
+    widths[axis] = (0, pad_size)
+    return np.pad(array, widths)

@@ -42,9 +42,17 @@ logger = logging.getLogger("sdv_tpu")
 
 class Engine:
     def __init__(self, models: SDModels, mesh=None, scheduler: str = "pndm",
-                 batch_bucket: Optional[int] = None):
+                 batch_bucket: Optional[int] = None,
+                 debug: Optional[bool] = None):
         self.models = models
         self.mesh = mesh if mesh is not None else make_mesh()
+        #: debug=True swaps the fused lax.scan for a per-step python loop so
+        #: intermediate latents are inspectable (the reference's module-level
+        #: DEBUG flag, flax_stable_diffusion_pipeline.py:34-35); also via
+        #: SDV_DEBUG=1
+        import os as _os
+        self.debug = (debug if debug is not None
+                      else _os.environ.get("SDV_DEBUG", "") == "1")
         self.scheduler_name = scheduler
         self.sched = get_scheduler(scheduler)
         #: dispatch batches are padded up to a multiple of this (defaults to
@@ -99,28 +107,51 @@ class Engine:
         vae = self.models.vae()
         scale = self.models.vae_config.scaling_factor
 
+        def body(params, context, guidance, tables, carry, i):
+            lat, st = carry
+            t = sched.timestep(tables, i)
+            inp = sched.scale_model_input(tables, st, i, lat)
+            inp2 = jnp.concatenate([inp, inp], axis=0)  # CFG 2x batch
+            tb = jnp.broadcast_to(t, (inp2.shape[0],))
+            eps = unet.apply(params["unet"], inp2, tb, context)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps = eps_u + guidance * (eps_c - eps_u)
+            st, lat = sched.step(tables, st, i, eps, lat)
+            return (lat, st)
+
+        def decode(params, lat):
+            imgs = vae.apply(params["vae"], lat / scale,
+                             method=AutoencoderKL.decode)
+            return jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
         def program(params, context, latents, guidance, tables, key):
             lat = latents * sched.init_noise_sigma(tables)
             state = sched.init_state(tables, latents.shape, key=key)
             n_loop = sched.num_loop_steps(tables)
+            (lat, _), _ = jax.lax.scan(
+                lambda c, i: (body(params, context, guidance, tables, c, i),
+                              None),
+                (lat, state), jnp.arange(n_loop))
+            return decode(params, lat)
 
-            def body(carry, i):
-                lat, st = carry
-                t = sched.timestep(tables, i)
-                inp = sched.scale_model_input(tables, st, i, lat)
-                inp2 = jnp.concatenate([inp, inp], axis=0)  # CFG 2x batch
-                tb = jnp.broadcast_to(t, (inp2.shape[0],))
-                eps = unet.apply(params["unet"], inp2, tb, context)
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + guidance * (eps_c - eps_u)
-                st, lat = sched.step(tables, st, i, eps, lat)
-                return (lat, st), None
+        if self.debug:
+            # per-step python loop: each step is its own dispatch and the
+            # intermediate latents are observable via self.debug_latents
+            step_fn = jax.jit(body)
+            decode_fn = jax.jit(decode)
 
-            (lat, _), _ = jax.lax.scan(body, (lat, state),
-                                       jnp.arange(n_loop))
-            imgs = vae.apply(params["vae"], lat / scale,
-                             method=AutoencoderKL.decode)
-            return jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            def debug_program(params, context, latents, guidance, tables,
+                              key):
+                lat = latents * sched.init_noise_sigma(tables)
+                state = sched.init_state(tables, latents.shape, key=key)
+                self.debug_latents = []
+                for i in range(sched.num_loop_steps(tables)):
+                    lat, state = step_fn(params, context, guidance, tables,
+                                         (lat, state), jnp.int32(i))
+                    self.debug_latents.append(lat)
+                return decode_fn(params, lat)
+
+            return debug_program
 
         bs = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
