@@ -100,6 +100,17 @@ class SDModels:
         return load_sd_checkpoint(path, dtype=dtype, tiled=tiled,
                                   with_safety=with_safety, cls=cls)
 
+    def save(self, path) -> str:
+        """Persist the converted bundle (native format; skips torch
+        conversion on subsequent ``SDModels.load``)."""
+        from .io import save_bundle
+        return save_bundle(self, path)
+
+    @classmethod
+    def load(cls, path, dtype=None) -> "SDModels":
+        from .io import load_bundle
+        return load_bundle(path, dtype=dtype, cls=cls)
+
     def param_count(self) -> dict[str, int]:
         return {k: sum(x.size for x in jax.tree.leaves(v))
                 for k, v in self.params.items()}

@@ -87,6 +87,7 @@ class CLIPBPETokenizer(BaseTokenizer):
     """Byte-level BPE with CLIP's end-of-word markers."""
 
     def __init__(self, vocab_path, merges_path):
+        self.vocab_path, self.merges_path = str(vocab_path), str(merges_path)
         with open(vocab_path) as f:
             self.encoder = json.load(f)
         merges_path = Path(merges_path)

@@ -72,6 +72,7 @@ class Engine:
         self._tables_cache: dict[tuple, Any] = {}
         self._embed_fn = None
         self._safety_fn = None
+        self._embed_cache: dict[tuple, jax.Array] = {}
 
     # ------------------------------------------------------------------
     # text embedding
@@ -85,8 +86,14 @@ class Engine:
                 lambda p, ids: enc.apply(p, ids)[0],
                 out_shardings=replicated(self.mesh))
         texts = [text] if isinstance(text, str) else list(text)
-        ids = self.models.tokenizer(texts)["input_ids"]
-        return self._embed_fn(self._params["text_encoder"], jnp.asarray(ids))
+        key = tuple(texts)
+        if key not in self._embed_cache:
+            if len(self._embed_cache) > 256:
+                self._embed_cache.clear()
+            ids = self.models.tokenizer(texts)["input_ids"]
+            self._embed_cache[key] = self._embed_fn(
+                self._params["text_encoder"], jnp.asarray(ids))
+        return self._embed_cache[key]
 
     # ------------------------------------------------------------------
     # the hot program
