@@ -29,6 +29,27 @@ import numpy as np  # noqa: E402
 A100_BASELINE_FPS = 1.0  # frames/sec/GPU, fp16+xformers diffusers, 512^2/50
 
 
+def _tpu_available_or_reexec(max_attempts: int = 8,
+                             wait_s: float = 150.0) -> bool:
+    """The axon tunnel grants one client at a time; its PJRT plugin
+    registers at interpreter start, so a failed grant can only be retried by
+    RESTARTING the process.  Re-exec up to ``max_attempts`` times before
+    falling back to the CPU smoke config."""
+    import sys
+    try:
+        jax.devices()
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        attempt = int(os.environ.get("SDV_BENCH_ATTEMPT", "0"))
+        if attempt >= max_attempts:
+            return False
+        os.environ["SDV_BENCH_ATTEMPT"] = str(attempt + 1)
+        print(f"# TPU grant unavailable; re-exec attempt {attempt + 1} "
+              f"in {wait_s:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(wait_s)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     from stable_diffusion_videos_tpu.core.schedulers import SchedulerConfig
     from stable_diffusion_videos_tpu.models import (CLIPTextConfig,
@@ -39,8 +60,13 @@ def main():
     from stable_diffusion_videos_tpu.models.vae import AutoencoderKL, VAEConfig
     from stable_diffusion_videos_tpu.runtime.engine import Engine
 
-    on_tpu = jax.default_backend() == "tpu"
+    import sys
+    on_tpu = _tpu_available_or_reexec()
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
     n_chips = jax.device_count()
+    print(f"# bench backend={jax.default_backend()} chips={n_chips}",
+          file=sys.stderr, flush=True)
 
     if on_tpu:
         ucfg, vcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1()

@@ -81,6 +81,11 @@ def cmd_app(args):
     Interface(_pipeline(args)).launch(share=args.share)
 
 
+def cmd_serve(args):
+    from .runtime.server import Server
+    Server(_pipeline(args)).serve_forever(host=args.host, port=args.port)
+
+
 def cmd_bench(args):
     import runpy
     from pathlib import Path
@@ -132,6 +137,12 @@ def main(argv=None):
     _add_common(app)
     app.add_argument("--share", action="store_true")
     app.set_defaults(fn=cmd_app)
+
+    srv = sub.add_parser("serve", help="HTTP JSON inference server")
+    _add_common(srv)
+    srv.add_argument("--host", default="0.0.0.0")
+    srv.add_argument("--port", type=int, default=8000)
+    srv.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -220,9 +220,24 @@ class Engine:
         return imgs, B
 
     def denoise_frames(self, cond, uncond, noise, **kw) -> np.ndarray:
-        """Blocking variant -> float32 numpy (B, H, W, 3) in [0, 1]."""
-        imgs, valid = self.denoise_frames_async(cond, uncond, noise, **kw)
-        return np.asarray(imgs)[:valid]
+        """Blocking variant -> float32 numpy (B, H, W, 3) in [0, 1].
+
+        Resilience the reference lacks (SURVEY.md §5.3): on HBM exhaustion
+        the batch is split in half and retried, so an over-ambitious
+        ``batch_size`` degrades to smaller dispatches instead of dying
+        mid-walk."""
+        try:
+            imgs, valid = self.denoise_frames_async(cond, uncond, noise, **kw)
+            return np.asarray(imgs)[:valid]
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or noise.shape[0] <= 1:
+                raise
+            half = max(1, noise.shape[0] // 2)
+            logger.warning("HBM exhausted at batch %d; retrying as %d+%d",
+                           noise.shape[0], half, noise.shape[0] - half)
+            lo = self.denoise_frames(cond[:half], uncond, noise[:half], **kw)
+            hi = self.denoise_frames(cond[half:], uncond, noise[half:], **kw)
+            return np.concatenate([lo, hi])
 
     # ------------------------------------------------------------------
     # safety checker

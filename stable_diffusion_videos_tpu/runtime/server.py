@@ -1,0 +1,197 @@
+"""HTTP serving — stdlib JSON API over the walk pipeline.
+
+Production-facing counterpart of the reference's gradio-only serving story
+(reference ``app.py``): no dependencies, thread-per-connection
+(``ThreadingHTTPServer``), one dispatch lock serialising device work, and a
+background job manager for long walks.
+
+Endpoints:
+* ``GET  /health``            -> {status, backend, devices, jobs}
+* ``POST /generate``          -> {images: [base64 PNG, ...], seeds: [...]}
+    body: {prompt | prompts, negative_prompt?, seed?, num_inference_steps?,
+           guidance_scale?, height?, width?, count?}
+* ``POST /walk``              -> {job_id}   (async; body = walk() kwargs)
+* ``GET  /jobs/<id>``         -> {status: queued|running|done|error,
+                                  result?, error?, perf?}
+
+Start: ``python -m stable_diffusion_videos_tpu serve --checkpoint ...`` or
+``Server(pipeline).serve_forever(port=8000)``.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+logger = logging.getLogger("sdv_tpu")
+
+
+class JobManager:
+    def __init__(self):
+        self._jobs: dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    def submit(self, fn, *args, **kwargs) -> str:
+        job_id = uuid.uuid4().hex[:12]
+        with self._lock:
+            self._jobs[job_id] = {"status": "queued"}
+
+        def run():
+            with self._lock:
+                self._jobs[job_id]["status"] = "running"
+            try:
+                result = fn(*args, **kwargs)
+                with self._lock:
+                    self._jobs[job_id].update(status="done", result=result)
+            except Exception as e:  # surfaced via the API, not swallowed
+                logger.exception("job %s failed", job_id)
+                with self._lock:
+                    self._jobs[job_id].update(status="error",
+                                              error=f"{type(e).__name__}: {e}")
+
+        threading.Thread(target=run, daemon=True).start()
+        return job_id
+
+    def get(self, job_id: str) -> dict | None:
+        with self._lock:
+            job = self._jobs.get(job_id)
+            return dict(job) if job else None
+
+    def count(self) -> dict:
+        with self._lock:
+            out: dict[str, int] = {}
+            for j in self._jobs.values():
+                out[j["status"]] = out.get(j["status"], 0) + 1
+            return out
+
+
+class Server:
+    def __init__(self, pipeline):
+        self.pipeline = pipeline
+        self.jobs = JobManager()
+        self.dispatch_lock = threading.Lock()  # one device program at a time
+        self._httpd = None
+
+    # ------------------------------------------------------------------
+    def _handle_health(self):
+        import jax
+        return {
+            "status": "ok",
+            "backend": jax.default_backend(),
+            "devices": jax.device_count(),
+            "mesh": dict(self.pipeline.engine.mesh.shape),
+            "jobs": self.jobs.count(),
+            "compiled_programs": len(self.pipeline.engine._compiled),
+        }
+
+    def _handle_generate(self, body: dict):
+        prompts = body.get("prompts") or [body.get("prompt")]
+        if not prompts or prompts[0] is None:
+            raise ValueError("missing 'prompt' or 'prompts'")
+        count = int(body.get("count", 1))
+        if count > 1 and len(prompts) == 1:
+            prompts = prompts * count
+        seed = int(body.get("seed", 0))
+        seeds = body.get("seeds") or [seed + i for i in range(len(prompts))]
+        if len(seeds) != len(prompts):
+            raise ValueError("len(seeds) != len(prompts)")
+
+        pipe = self.pipeline
+        with self.dispatch_lock:
+            embeds = pipe.engine.embed_text(list(prompts))
+            uncond = pipe.engine.embed_text(body.get("negative_prompt") or "")
+            height = int(body.get("height") or pipe.models.default_size)
+            width = int(body.get("width") or pipe.models.default_size)
+            noise = np.concatenate([
+                pipe.init_noise(s, pipe._latent_shape(height, width))
+                for s in seeds])
+            images = pipe.engine.denoise_frames(
+                embeds, uncond, noise,
+                num_inference_steps=int(body.get("num_inference_steps", 50)),
+                guidance_scale=float(body.get("guidance_scale", 7.5)),
+                eta=float(body.get("eta", 0.0)))
+        out = []
+        for pil in pipe._postprocess(images):
+            buf = io.BytesIO()
+            pil.save(buf, format="PNG")
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return {"images": out, "seeds": list(map(int, seeds)),
+                "format": "png;base64"}
+
+    def _handle_walk(self, body: dict):
+        def run():
+            with self.dispatch_lock:
+                result = self.pipeline.walk(**body)
+            return {"video": result,
+                    "perf": self.pipeline.timer.summary()}
+        return {"job_id": self.jobs.submit(run)}
+
+    # ------------------------------------------------------------------
+    def make_handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                logger.debug("http: " + fmt, *args)
+
+            def _reply(self, code: int, payload: dict):
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    return self._reply(200, server_self._handle_health())
+                if self.path.startswith("/jobs/"):
+                    job = server_self.jobs.get(self.path.split("/")[-1])
+                    if job is None:
+                        return self._reply(404, {"error": "unknown job"})
+                    return self._reply(200, job)
+                return self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError as e:
+                    return self._reply(400, {"error": f"bad json: {e}"})
+                try:
+                    if self.path == "/generate":
+                        return self._reply(
+                            200, server_self._handle_generate(body))
+                    if self.path == "/walk":
+                        return self._reply(202, server_self._handle_walk(body))
+                except (ValueError, TypeError) as e:
+                    return self._reply(400, {"error": str(e)})
+                except Exception as e:
+                    logger.exception("request failed")
+                    return self._reply(
+                        500, {"error": f"{type(e).__name__}: {e}"})
+                return self._reply(404, {"error": f"no route {self.path}"})
+        return Handler
+
+    def start(self, host: str = "127.0.0.1", port: int = 8000):
+        """Start in a background thread; returns (host, actual_port)."""
+        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        logger.info("serving on %s:%d", host, self._httpd.server_port)
+        return host, self._httpd.server_port
+
+    def serve_forever(self, host: str = "0.0.0.0", port: int = 8000):
+        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        logger.info("serving on %s:%d", host, port)
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd = None

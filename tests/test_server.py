@@ -1,0 +1,112 @@
+"""HTTP serving tests (stdlib client against a live server, tiny model)."""
+
+import base64
+import io
+import json
+import time
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served():
+    from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
+    from stable_diffusion_videos_tpu.runtime.server import Server
+    server = Server(StableDiffusionWalkPipeline.tiny())
+    host, port = server.start(port=0)
+    yield host, port, server
+    server.shutdown()
+
+
+def _req(host, port, method, path, body=None):
+    conn = HTTPConnection(host, port, timeout=300)
+    data = json.dumps(body).encode() if body is not None else None
+    conn.request(method, path, body=data,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    return resp.status, payload
+
+
+def test_health(served):
+    host, port, _ = served
+    status, body = _req(host, port, "GET", "/health")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert body["devices"] >= 1
+
+
+def test_generate(served):
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/generate", {
+        "prompt": "a tiny fox", "num_inference_steps": 2, "count": 2,
+        "seed": 5})
+    assert status == 200
+    assert len(body["images"]) == 2
+    assert body["seeds"] == [5, 6]
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
+    assert img.size == (16, 16)
+
+
+def test_generate_validation(served):
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/generate", {})
+    assert status == 400 and "prompt" in body["error"]
+    status, body = _req(host, port, "POST", "/generate",
+                        {"prompt": "x", "seeds": [1, 2]})
+    assert status == 400
+
+
+def test_bad_json(served):
+    host, port, _ = served
+    conn = HTTPConnection(host, port, timeout=60)
+    conn.request("POST", "/generate", body=b"{not json",
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+
+def test_unknown_routes(served):
+    host, port, _ = served
+    assert _req(host, port, "GET", "/nope")[0] == 404
+    assert _req(host, port, "POST", "/nope")[0] == 404
+    assert _req(host, port, "GET", "/jobs/zzz")[0] == 404
+
+
+def test_walk_job(served, tmp_path):
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/walk", {
+        "prompts": ["a", "b"], "seeds": [1, 2],
+        "num_interpolation_steps": 2, "num_inference_steps": 2,
+        "fps": 2, "output_dir": str(tmp_path), "name": "served"})
+    assert status == 202
+    job_id = body["job_id"]
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        status, job = _req(host, port, "GET", f"/jobs/{job_id}")
+        if job["status"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert job["status"] == "done", job
+    assert job["result"]["video"].endswith(".mp4")
+    assert job["result"]["perf"]["frames"] >= 2
+
+
+def test_walk_job_error_surfaced(served):
+    host, port, _ = served
+    _, body = _req(host, port, "POST", "/walk", {"prompts": ["only one"],
+                                                 "seeds": [1]})
+    job_id = body["job_id"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        _, job = _req(host, port, "GET", f"/jobs/{job_id}")
+        if job["status"] in ("done", "error"):
+            break
+        time.sleep(0.5)
+    assert job["status"] == "error"
+    assert "ValueError" in job["error"]
