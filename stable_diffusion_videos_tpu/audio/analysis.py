@@ -20,8 +20,6 @@ DSP per clip and runs fully overlapped with device compute.
 
 from __future__ import annotations
 
-import wave
-from pathlib import Path
 
 import numpy as np
 from scipy import signal as _sig

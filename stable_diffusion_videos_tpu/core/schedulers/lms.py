@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import integrate
 
-from .base import Scheduler, SchedulerConfig, register
+from .base import SchedulerConfig, register
 from .euler import _EulerBase
 
 

@@ -23,7 +23,7 @@ import logging
 import shutil
 import subprocess
 from pathlib import Path
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

@@ -11,8 +11,6 @@ in the reference (``_optional_components``, ``:63``).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import flax.struct
 import jax

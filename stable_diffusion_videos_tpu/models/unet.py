@@ -13,7 +13,7 @@ variants share every code path with the full 860M model.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import flax.struct

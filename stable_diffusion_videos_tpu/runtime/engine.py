@@ -22,7 +22,6 @@ The reference's flax path compiles the 50-step CFG loop into one program via
 from __future__ import annotations
 
 import logging
-from functools import partial
 from typing import Any, Optional
 
 import jax
