@@ -132,12 +132,14 @@ class StableDiffusionWalkPipeline:
                 logger.warning("safety checker flagged %d frame(s); "
                                "blacking out", int(flags.sum()))
                 images = np.where(flags[:, None, None, None], 0.0, images)
-        pils = [Image.fromarray((np.clip(f, 0, 1) * 255).round().astype(np.uint8))
-                for f in images]
         if self.upsampler is not None:
             with self.timer.stage("upsample"):
-                pils = [self.upsampler(p) for p in pils]
-        return pils
+                # one batched jitted dispatch for the whole frame batch
+                # (the reference upsamples frame-by-frame through PIL/cv2,
+                # upsampling.py:42-55)
+                images = self.upsampler(np.asarray(images, np.float32))
+        return [Image.fromarray((np.clip(f, 0, 1) * 255).round()
+                                .astype(np.uint8)) for f in images]
 
     def make_clip_frames(self, prompt_a: str, prompt_b: str, seed_a: int,
                          seed_b: int, num_interpolation_steps: int = 5,

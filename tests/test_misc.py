@@ -150,3 +150,25 @@ def test_stage_timer_summary():
     assert s["frames"] == 5
     assert s["stages_s"]["denoise"] >= 0.01
     assert s["frames_per_s_denoise"] > 0
+
+
+def test_engine_oom_backoff(engine, monkeypatch):
+    """RESOURCE_EXHAUSTED on a big batch -> transparent halved retries."""
+    import jax
+    import jax.numpy as jnp
+    calls = []
+    real = engine.denoise_frames_async
+
+    def flaky(cond, uncond, noise, **kw):
+        calls.append(noise.shape[0])
+        if noise.shape[0] > 2:
+            raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return real(cond, uncond, noise, **kw)
+
+    monkeypatch.setattr(engine, "denoise_frames_async", flaky)
+    cond = engine.embed_text(["a", "b", "c", "d"])
+    out = engine.denoise_frames(cond, engine.embed_text(""),
+                                jnp.zeros((4, 8, 8, 4)),
+                                num_inference_steps=2)
+    assert out.shape[0] == 4
+    assert calls[0] == 4 and max(calls[1:]) <= 2
