@@ -83,6 +83,20 @@ class StableDiffusionWalkPipeline:
         return cls(models, scheduler=scheduler, **kw)
 
     # ------------------------------------------------------------------
+    # reference drop-in shims
+    # ------------------------------------------------------------------
+    def enable_attention_slicing(self, slice_size="auto"):
+        """No-op shim: the reference slices attention to fit CUDA memory
+        (``stable_diffusion_pipeline.py:161-189``); here long sequences run
+        through the Pallas flash kernel, which never materialises the S x S
+        score matrix, so there is nothing to slice."""
+        logger.info("attention slicing not needed on TPU (flash attention); "
+                    "ignoring enable_attention_slicing(%r)", slice_size)
+
+    def disable_attention_slicing(self):
+        pass
+
+    # ------------------------------------------------------------------
     # building blocks (reference helper API)
     # ------------------------------------------------------------------
     def embed_text(self, text, negative_prompt=None):
@@ -225,13 +239,21 @@ class StableDiffusionWalkPipeline:
              audio_filepath: Optional[str] = None,
              audio_start_sec: Optional[float] = None, margin: float = 1.0,
              smooth: float = 0.0, negative_prompt: Optional[str] = None,
-             make_video: bool = True) -> Optional[str]:
+             make_video: bool = True, params=None,
+             jit: Optional[bool] = None) -> Optional[str]:
         """Generate a video walking through prompt/seed pairs — reference
         ``walk()`` (``stable_diffusion_pipeline.py:556-807``), same API and
         output directory layout (clip subdirs + per-clip mp4 + final mp4 +
         ``prompt_config.json``).  Returns the final video path (or the run
         directory when ``make_video=False``)."""
         from ..media.video import make_video as assemble
+
+        if params is not None or jit is not None:
+            # reference flax signature compatibility
+            # (flax_stable_diffusion_pipeline.py:607-620): params live in the
+            # engine here, and everything is jitted always
+            logger.info("walk(params=..., jit=...) are managed by the engine "
+                        "in this framework; arguments ignored")
 
         height = height or self.models.default_size
         width = width or self.models.default_size
