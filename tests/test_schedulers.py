@@ -110,3 +110,15 @@ def test_add_noise_roundtrip():
     noisy = sched.add_noise(tables, x0, noise, jnp.int32(0))
     acp0 = float(tables["alphas_cumprod"][0])
     np.testing.assert_allclose(np.asarray(noisy), np.sqrt(acp0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", SCHEDULER_NAMES)
+@pytest.mark.parametrize("steps", [1, 2, 10])
+def test_tables_edge_step_counts(name, steps):
+    """Degenerate step counts must not crash or produce non-finite tables."""
+    sched = get_scheduler(name)
+    tables = sched.make_tables(SchedulerConfig(), steps)
+    assert sched.num_loop_steps(tables) >= steps
+    for k, v in tables.items():
+        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating):
+            assert np.isfinite(np.asarray(v)).all(), f"{name}[{steps}].{k}"
