@@ -203,7 +203,6 @@ class StableDiffusionWalkPipeline:
                              / f"frame{start + j:06d}{image_file_ext}")
             self.timer.add_frames(valid)
 
-        done = 0
         for batch_idx, (embeds, noise) in enumerate(batch_gen):
             prefix = f"[{step[0]}/{step[1]}]" if step else ""
             logger.info("%s[%d] generating frames %d-%d / %d", prefix,
@@ -220,7 +219,6 @@ class StableDiffusionWalkPipeline:
                 drain(pending)
             pending = (fut, valid, frame_index)
             frame_index += valid
-            done += valid
         if pending is not None:
             drain(pending)
 

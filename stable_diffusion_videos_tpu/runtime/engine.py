@@ -22,6 +22,7 @@ The reference's flax path compiles the 50-step CFG loop into one program via
 from __future__ import annotations
 
 import logging
+import threading
 from typing import Any, Optional
 
 import jax
@@ -69,6 +70,7 @@ class Engine:
                 lambda _: replicated(self.mesh), self._params)
         self._compiled: dict[tuple, Any] = {}
         self._tables_cache: dict[tuple, Any] = {}
+        self._cache_lock = threading.Lock()  # server threads share an engine
         self._embed_fn = None
         self._safety_fn = None
         self._embed_cache: dict[tuple, jax.Array] = {}
@@ -99,13 +101,15 @@ class Engine:
     # ------------------------------------------------------------------
     def _tables(self, num_inference_steps: int, eta: float):
         key = (self.scheduler_name, num_inference_steps, float(eta))
-        if key not in self._tables_cache:
-            kwargs = {}
-            if self.scheduler_name == "ddim":
-                kwargs["eta"] = float(eta)
-            self._tables_cache[key] = SchedTables(self.sched.make_tables(
-                self.models.scheduler_config, num_inference_steps, **kwargs))
-        return self._tables_cache[key]
+        with self._cache_lock:
+            if key not in self._tables_cache:
+                kwargs = {}
+                if self.scheduler_name == "ddim":
+                    kwargs["eta"] = float(eta)
+                self._tables_cache[key] = SchedTables(self.sched.make_tables(
+                    self.models.scheduler_config, num_inference_steps,
+                    **kwargs))
+            return self._tables_cache[key]
 
     def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int):
         sched = self.sched
@@ -171,10 +175,11 @@ class Engine:
 
     def _get_compiled(self, batch, h, w, steps, ctx_len):
         key = (batch, h, w, steps, ctx_len)
-        if key not in self._compiled:
-            logger.info("compiling denoise program %s", key)
-            self._compiled[key] = self._build(*key)
-        return self._compiled[key]
+        with self._cache_lock:
+            if key not in self._compiled:
+                logger.info("compiling denoise program %s", key)
+                self._compiled[key] = self._build(*key)
+            return self._compiled[key]
 
     # ------------------------------------------------------------------
     # public API
