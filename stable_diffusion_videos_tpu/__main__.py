@@ -81,6 +81,14 @@ def cmd_app(args):
     Interface(_pipeline(args)).launch(share=args.share)
 
 
+def cmd_compare(args):
+    import json as _json
+
+    from .utils.metrics import compare_frame_dirs
+    print(_json.dumps(compare_frame_dirs(args.a, args.b, glob=args.glob),
+                      indent=2))
+
+
 def cmd_serve(args):
     from .runtime.server import Server
     Server(_pipeline(args)).serve_forever(host=args.host, port=args.port)
@@ -137,6 +145,13 @@ def main(argv=None):
     _add_common(app)
     app.add_argument("--share", action="store_true")
     app.set_defaults(fn=cmd_app)
+
+    cmp_ = sub.add_parser("compare",
+                          help="PSNR/SSIM parity between two frame dirs")
+    cmp_.add_argument("--a", required=True)
+    cmp_.add_argument("--b", required=True)
+    cmp_.add_argument("--glob", default="**/frame*.png")
+    cmp_.set_defaults(fn=cmd_compare)
 
     srv = sub.add_parser("serve", help="HTTP JSON inference server")
     _add_common(srv)
