@@ -155,3 +155,19 @@ def test_call_generate_single(pipeline):
     imgs = pipeline(prompt="hello", num_inference_steps=2, output_type="np")
     assert imgs.shape[0] == 1 and imgs.shape[-1] == 3
     assert np.isfinite(imgs).all()
+
+
+def test_walk_batch_size_invariance(pipeline, run_dir):
+    """Frames must not depend on how they were batched into dispatches."""
+    from PIL import Image
+    for name, bs in (("bs1", 1), ("bs3", 3)):
+        pipeline.walk(prompts=["inv-a", "inv-b"], seeds=[21, 22],
+                      num_interpolation_steps=3, num_inference_steps=2,
+                      fps=2, output_dir=str(run_dir), name=name,
+                      batch_size=bs, make_video=False)
+    for i in range(3):
+        a = np.asarray(Image.open(run_dir / "bs1" / "bs1_000000"
+                                  / f"frame{i:06d}.png"), np.int16)
+        b = np.asarray(Image.open(run_dir / "bs3" / "bs3_000000"
+                                  / f"frame{i:06d}.png"), np.int16)
+        assert np.abs(a - b).max() <= 1, f"frame {i} differs across batching"
