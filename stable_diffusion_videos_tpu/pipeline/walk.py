@@ -166,7 +166,7 @@ class StableDiffusionWalkPipeline:
                          image_file_ext: str = ".png",
                          T=None, skip: int = 0,
                          negative_prompt: Optional[str] = None,
-                         step: Optional[tuple] = None):
+                         step: Optional[tuple] = None, frame_sink=None):
         """Generate frames for one prompt-pair clip (reference
         ``make_clip_frames``, ``stable_diffusion_pipeline.py:481-554``)."""
         if upsample:
@@ -201,6 +201,8 @@ class StableDiffusionWalkPipeline:
                 for j, pil in enumerate(self._postprocess(imgs)):
                     pil.save(save_path
                              / f"frame{start + j:06d}{image_file_ext}")
+                    if frame_sink is not None:
+                        frame_sink.add_frame(np.asarray(pil))
             self.timer.add_frames(valid)
 
         for batch_idx, (embeds, noise) in enumerate(batch_gen):
@@ -363,16 +365,50 @@ class StableDiffusionWalkPipeline:
                                               duration=audio_duration,
                                               fps=fps, margin=margin,
                                               smooth=smooth)
-                self.make_clip_frames(
-                    prompt_a, prompt_b, seed_a, seed_b,
-                    num_interpolation_steps=num_step, save_path=clip_dir,
-                    num_inference_steps=num_inference_steps,
-                    guidance_scale=guidance_scale, eta=eta, height=height,
-                    width=width, upsample=upsample, batch_size=batch_size,
-                    image_file_ext=image_file_ext, T=T, skip=skip,
-                    negative_prompt=negative_prompt,
-                    step=(i, len(clip_pairs)))
-            if make_video:
+                # stream frames straight into the clip encoder as they are
+                # generated (PNGs are still written for resume); a partial
+                # resume replays the existing frames into the sink first
+                frame_sink = None
+                if make_video:
+                    from ..media.video import FrameWriter, iter_frames
+                    audio_slice = None
+                    if audio_filepath:
+                        from ..audio.analysis import load_audio
+                        audio_slice, a_sr = load_audio(
+                            audio_filepath, offset=audio_offset,
+                            duration=audio_duration)
+                    frame_sink = FrameWriter(
+                        str(clip_mp4), fps=fps, audio=audio_slice,
+                        audio_sr=a_sr if audio_filepath else 22050)
+                    if skip > 0:
+                        for f in iter_frames(clip_dir,
+                                             f"frame*{image_file_ext}"):
+                            frame_sink.add_frame(f)
+                try:
+                    self.make_clip_frames(
+                        prompt_a, prompt_b, seed_a, seed_b,
+                        num_interpolation_steps=num_step, save_path=clip_dir,
+                        num_inference_steps=num_inference_steps,
+                        guidance_scale=guidance_scale, eta=eta, height=height,
+                        width=width, upsample=upsample, batch_size=batch_size,
+                        image_file_ext=image_file_ext, T=T, skip=skip,
+                        negative_prompt=negative_prompt,
+                        step=(i, len(clip_pairs)), frame_sink=frame_sink)
+                    if frame_sink is not None:
+                        with self.timer.stage("encode"):
+                            frame_sink.close()
+                except BaseException:
+                    # don't leave a half-written container claiming the clip
+                    # is complete (resume treats an existing video as done)
+                    if frame_sink is not None:
+                        try:
+                            frame_sink.close()
+                        except Exception:
+                            pass
+                        Path(frame_sink.output_filepath).unlink(
+                            missing_ok=True)
+                    raise
+            elif make_video and not clip_mp4.exists():
                 with self.timer.stage("encode"):
                     assemble(clip_dir,
                              audio_filepath=audio_filepath,
