@@ -43,7 +43,8 @@ logger = logging.getLogger("sdv_tpu")
 class Engine:
     def __init__(self, models: SDModels, mesh=None, scheduler: str = "pndm",
                  batch_bucket: Optional[int] = None,
-                 debug: Optional[bool] = None):
+                 debug: Optional[bool] = None,
+                 vae_tile: Optional[int] = None, vae_tile_overlap: int = 16):
         self.models = models
         self.mesh = mesh if mesh is not None else make_mesh()
         #: debug=True swaps the fused lax.scan for a per-step python loop so
@@ -68,6 +69,12 @@ class Engine:
             self._params = replicate(self.mesh, models.params)
             self._param_shardings = jax.tree.map(
                 lambda _: replicated(self.mesh), self._params)
+        #: decode in overlapping latent-space tiles of this side length
+        #: (enables >512^2 frames within HBM; None = whole-frame decode
+        #: fused into the denoise program)
+        self.vae_tile = vae_tile
+        self.vae_tile_overlap = vae_tile_overlap
+        self._tile_decode_fn = None
         self._compiled: dict[tuple, Any] = {}
         self._tables_cache: dict[tuple, Any] = {}
         self._cache_lock = threading.Lock()  # server threads share an engine
@@ -134,6 +141,8 @@ class Engine:
                              method=AutoencoderKL.decode)
             return jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
+        tiled_vae = self.vae_tile is not None
+
         def program(params, context, latents, guidance, tables, key):
             lat = latents * sched.init_noise_sigma(tables)
             state = sched.init_state(tables, latents.shape, key=key)
@@ -142,6 +151,8 @@ class Engine:
                 lambda c, i: (body(params, context, guidance, tables, c, i),
                               None),
                 (lat, state), jnp.arange(n_loop))
+            if tiled_vae:
+                return lat  # host drives tiled decode (decode_latents_tiled)
             return decode(params, lat)
 
         if self.debug:
@@ -221,7 +232,66 @@ class Engine:
         with _trace("denoise_dispatch"):
             imgs = fn(self._params, context, noise_p,
                       jnp.float32(guidance_scale), tables, key)
+        if self.vae_tile is not None:
+            imgs = self.decode_latents_tiled(imgs)
         return imgs, B
+
+    # ------------------------------------------------------------------
+    # tiled VAE decode (>512^2 frames within HBM; cf. the reference's
+    # reliance on RealESRGANer tiling for its big stage, upsampling.py:14,27)
+    # ------------------------------------------------------------------
+    def decode_latents_tiled(self, latents) -> np.ndarray:
+        """(B, h, w, 4) raw latents -> (B, 8h, 8w, 3) float [0,1] images,
+        decoded in overlapping latent tiles with linear seam blending."""
+        tile, ov = self.vae_tile, self.vae_tile_overlap
+        if self._tile_decode_fn is None:
+            vae = self.models.vae()
+            scale = self.models.vae_config.scaling_factor
+
+            def dec(params, z):
+                img = vae.apply(params["vae"], z / scale,
+                                method=AutoencoderKL.decode)
+                return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0, 1)
+            self._tile_decode_fn = jax.jit(dec)
+
+        lat = np.asarray(latents)
+        b, h, w, _ = lat.shape
+        f = self.models.vae_scale_factor
+        if h <= tile and w <= tile:
+            return np.asarray(self._tile_decode_fn(self._params, latents))
+
+        stride = tile - ov
+        out = np.zeros((b, h * f, w * f, 3), np.float32)
+        weight = np.zeros((1, h * f, w * f, 1), np.float32)
+
+        def ramp(n_pix, lo_edge, hi_edge):
+            r = np.ones(n_pix, np.float32)
+            e = ov * f
+            if lo_edge:
+                r[:e] = np.linspace(0, 1, e, endpoint=False)
+            if hi_edge:
+                r[-e:] = np.linspace(1, 0, e)
+            return r
+
+        def positions(dim):
+            # clamp the final tile back so every tile is exactly `tile` wide
+            # -> a single compiled decode shape
+            pos = list(range(0, max(dim - tile, 0) + 1, stride))
+            if pos[-1] != dim - tile:
+                pos.append(dim - tile)
+            return pos
+
+        for y0 in positions(h):
+            for x0 in positions(w):
+                y1, x1 = y0 + tile, x0 + tile
+                z = latents[:, y0:y1, x0:x1]
+                img = np.asarray(self._tile_decode_fn(self._params, z))
+                ry = ramp(img.shape[1], y0 > 0, y1 < h)
+                rx = ramp(img.shape[2], x0 > 0, x1 < w)
+                wmap = (ry[:, None] * rx[None, :])[None, :, :, None]
+                out[:, y0 * f:y1 * f, x0 * f:x1 * f] += img * wmap
+                weight[:, y0 * f:y1 * f, x0 * f:x1 * f] += wmap
+        return out / np.maximum(weight, 1e-8)
 
     def denoise_frames(self, cond, uncond, noise, **kw) -> np.ndarray:
         """Blocking variant -> float32 numpy (B, H, W, 3) in [0, 1].
