@@ -117,6 +117,21 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     grid = (b * h, sq_p // tq, sk_p // tk)
     kernel = functools.partial(_flash_kernel, scale=scale_val,
                                tile_k_steps=sk_p // tk)
+    extra = {}
+    if not interpret:
+        # Mosaic hints: batch*head and q-tile axes are parallel; the k axis
+        # carries the online-softmax accumulator (sequential revisiting)
+        try:
+            extra["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"))
+        except TypeError:
+            pass
+        extra["cost_estimate"] = pl.CostEstimate(
+            flops=4 * b * h * sq_p * sk_p * d_p,
+            bytes_accessed=(b * h * (sq_p + 2 * sk_p + sq_p) * d_p
+                            * q.dtype.itemsize),
+            transcendentals=b * h * sq_p * sk_p,
+        )
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -133,6 +148,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             pltpu.VMEM((tq, 128), jnp.float32),
         ],
         interpret=interpret,
+        **extra,
     )(qb, kb, vb)
 
     out = out[:, :sq, :d]
