@@ -81,6 +81,16 @@ def cmd_app(args):
     Interface(_pipeline(args)).launch(share=args.share)
 
 
+def cmd_convert(args):
+    from .models.bundle import SDModels
+    models = SDModels.from_pretrained(args.checkpoint,
+                                      with_safety=not args.no_safety)
+    out = models.save(args.out)
+    print(out)
+    for k, n in models.param_count().items():
+        print(f"  {k}: {n/1e6:.1f}M params")
+
+
 def cmd_compare(args):
     import json as _json
 
@@ -145,6 +155,13 @@ def main(argv=None):
     _add_common(app)
     app.add_argument("--share", action="store_true")
     app.set_defaults(fn=cmd_app)
+
+    cv = sub.add_parser("convert",
+                        help="diffusers checkpoint dir -> native bundle")
+    cv.add_argument("--checkpoint", required=True)
+    cv.add_argument("--out", required=True)
+    cv.add_argument("--no-safety", action="store_true")
+    cv.set_defaults(fn=cmd_convert)
 
     cmp_ = sub.add_parser("compare",
                           help="PSNR/SSIM parity between two frame dirs")

@@ -53,6 +53,10 @@ class SchedulerConfig:
     thresholding: bool = flax.struct.field(pytree_node=False, default=False)
     # LMS / Euler
     lms_order: int = flax.struct.field(pytree_node=False, default=4)
+    #: resample sigmas onto the Karras et al. 2022 rho-7 schedule
+    #: (quality option for the sigma-space samplers)
+    use_karras_sigmas: bool = flax.struct.field(pytree_node=False,
+                                                default=False)
 
 
 def betas_for_schedule(cfg: SchedulerConfig) -> np.ndarray:

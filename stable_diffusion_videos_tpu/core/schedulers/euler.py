@@ -20,6 +20,16 @@ def _sigma_tables(cfg: SchedulerConfig, num_inference_steps: int):
     sigmas_train = np.sqrt((1.0 - acp) / acp)
     ts = spaced_timesteps(cfg, num_inference_steps).astype(np.float64)
     sigmas = np.interp(ts, np.arange(len(sigmas_train)), sigmas_train)
+    if cfg.use_karras_sigmas:
+        # Karras et al. 2022 rho-7 noise schedule over [sigma_min, sigma_max]
+        rho = 7.0
+        s_min, s_max = sigmas[-1], sigmas[0]
+        ramp = np.linspace(0, 1, num_inference_steps)
+        sigmas = (s_max ** (1 / rho)
+                  + ramp * (s_min ** (1 / rho) - s_max ** (1 / rho))) ** rho
+        # timesteps fed to the unet follow the resampled sigmas
+        log_s = np.log(np.maximum(sigmas_train, 1e-20))
+        ts = np.interp(np.log(sigmas), log_s, np.arange(len(sigmas_train)))
     sigmas = np.concatenate([sigmas, [0.0]])  # terminal sigma
     return ts, sigmas
 

@@ -122,3 +122,27 @@ def test_tables_edge_step_counts(name, steps):
     for k, v in tables.items():
         if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating):
             assert np.isfinite(np.asarray(v)).all(), f"{name}[{steps}].{k}"
+
+
+def test_karras_sigmas_euler():
+    cfg = SchedulerConfig(use_karras_sigmas=True)
+    tables = get_scheduler("euler").make_tables(cfg, 20)
+    sig = np.asarray(tables["sigmas"])
+    assert np.all(np.diff(sig) < 1e-9)  # strictly decreasing to 0
+    assert sig[-1] == 0.0
+    # oracle convergence still holds on the karras grid
+    sched = get_scheduler("euler")
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(key, SHAPE, jnp.float32, -1, 1)
+    noise = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+    lat = noise * sched.init_noise_sigma(tables)
+    st = sched.init_state(tables, SHAPE)
+
+    def body(c, i):
+        lat, st = c
+        sigma = tables["sigmas"][i]
+        eps = (lat - x0) / sigma
+        st, lat = sched.step(tables, st, i, eps, lat)
+        return (lat, st), None
+    (lat, _), _ = jax.lax.scan(body, (lat, st), jnp.arange(20))
+    assert np.abs(np.asarray(lat) - np.asarray(x0)).max() < 0.02
