@@ -34,8 +34,11 @@ _EXPORTS = {
     "make_video": "media.video:make_video",
     "SDModels": "models.bundle:SDModels",
     "Engine": "runtime.engine:Engine",
+    "Server": "runtime.server:Server",
+    "UNetTrainer": "training.trainer:UNetTrainer",
     "make_mesh": "parallel.mesh:make_mesh",
     "slerp": "core.interp:slerp",
+    "compare_frame_dirs": "utils.metrics:compare_frame_dirs",
 }
 
 __all__ = sorted(_EXPORTS)
