@@ -75,6 +75,10 @@ class Euler(_EulerBase):
 
 @register
 class EulerAncestral(_EulerBase):
+    """NOTE: the per-step ancestral noise draws from one PRNG key per
+    dispatch, so frames are reproducible for a fixed (seed, batch layout)
+    but not invariant to re-batching — use a deterministic sampler when
+    exact batch-size invariance matters."""
     name = "euler_ancestral"
     stochastic = True
 

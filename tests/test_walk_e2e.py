@@ -171,3 +171,13 @@ def test_walk_batch_size_invariance(pipeline, run_dir):
         b = np.asarray(Image.open(run_dir / "bs3" / "bs3_000000"
                                   / f"frame{i:06d}.png"), np.int16)
         assert np.abs(a - b).max() <= 1, f"frame {i} differs across batching"
+
+
+def test_walk_non_square(pipeline, run_dir):
+    from PIL import Image
+    pipeline.walk(prompts=["ns-a", "ns-b"], seeds=[31, 32],
+                  num_interpolation_steps=2, num_inference_steps=2, fps=2,
+                  height=16, width=24, output_dir=str(run_dir), name="ns",
+                  make_video=False)
+    frame = next((run_dir / "ns").glob("**/frame000000.png"))
+    assert Image.open(frame).size == (24, 16)  # PIL size is (W, H)
