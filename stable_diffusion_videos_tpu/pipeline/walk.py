@@ -186,6 +186,10 @@ class StableDiffusionWalkPipeline:
 
         noise_shape = self._latent_shape(height, width)
         uncond = self.engine.embed_text(negative_prompt or "")
+        from concurrent.futures import ThreadPoolExecutor
+        save_pool = ThreadPoolExecutor(max_workers=4,
+                                       thread_name_prefix="frame-save")
+        save_futures = []
 
         batch_gen = self.generate_inputs(prompt_a, prompt_b, seed_a, seed_b,
                                          noise_shape, T, batch_size)
@@ -199,8 +203,10 @@ class StableDiffusionWalkPipeline:
                 imgs = np.asarray(imgs_dev)[:valid]
             with self.timer.stage("save"):
                 for j, pil in enumerate(self._postprocess(imgs)):
-                    pil.save(save_path
-                             / f"frame{start + j:06d}{image_file_ext}")
+                    # PNG encode on worker threads; sink feed stays in-order
+                    save_futures.append(save_pool.submit(
+                        pil.save,
+                        save_path / f"frame{start + j:06d}{image_file_ext}"))
                     if frame_sink is not None:
                         frame_sink.add_frame(np.asarray(pil))
             self.timer.add_frames(valid)
@@ -223,6 +229,10 @@ class StableDiffusionWalkPipeline:
             frame_index += valid
         if pending is not None:
             drain(pending)
+        with self.timer.stage("save"):
+            for f in save_futures:
+                f.result()  # surface any save error; ensure files complete
+        save_pool.shutdown(wait=True)
 
     # ------------------------------------------------------------------
     # the product: walk()
