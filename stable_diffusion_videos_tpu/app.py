@@ -27,9 +27,14 @@ def _require_gradio():
 class Interface:
     """Two-tab app: batch images and walk videos, wrapping one pipeline."""
 
-    def __init__(self, pipeline):
+    def __init__(self, pipeline, params=None):
         gr = _require_gradio()
         self.pipeline = pipeline
+        if params is not None:
+            # reference flax signature (app.py:9, flax switch :88-90): params
+            # are engine-managed here
+            logger.info("Interface(params=...) ignored: params are "
+                        "engine-managed")
 
         self.interface_images = gr.Interface(
             self.fn_images,

@@ -96,6 +96,24 @@ def generate_images(pipeline, prompt: str, batch_size: int = 1,
     return frame_filepaths
 
 
+def generate_input_batches(pipeline, prompts, seeds, batch_size: int,
+                           height: int, width: int):
+    """Yield (batch_idx, embeds, noise) batches for fixed prompt/seed lists
+    (reference ``generate_input_batches``, ``image_generation.py:81-105`` —
+    minus its hardcoded ``torch.cuda.HalfTensor`` cast, ``:101``)."""
+    if len(prompts) != len(seeds):
+        raise ValueError("Number of prompts and seeds must be equal.")
+    latent_shape = pipeline._latent_shape(height, width)
+    embeds, noises, batch_idx = [], [], 0
+    for i, (prompt, seed) in enumerate(zip(prompts, seeds)):
+        embeds.append(np.asarray(pipeline.engine.embed_text(prompt))[0])
+        noises.append(pipeline.init_noise(seed, latent_shape)[0])
+        if len(embeds) == batch_size or i + 1 == len(prompts):
+            yield batch_idx, np.stack(embeds), np.stack(noises)
+            batch_idx += 1
+            embeds, noises = [], []
+
+
 # flax-API-compatible alias: this framework has a single TPU backend, so the
 # reference's torch/flax split (image_generation.py:108/221) collapses.
 generate_images_flax = generate_images
