@@ -70,7 +70,8 @@ def main():
 
     if on_tpu:
         ucfg, vcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1()
-        steps, batch, side = 50, 8, 512
+        steps, side = 50, 512
+        batch = int(os.environ.get("SDV_BENCH_BATCH", "16"))
         dtype = jnp.bfloat16
     else:  # smoke fallback so bench always runs
         ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
@@ -111,25 +112,36 @@ def main():
     engine = Engine(models, scheduler="pndm", batch_bucket=batch)
 
     rng = np.random.default_rng(0)
-    cond = jnp.asarray(rng.standard_normal(
-        (batch, 77, ucfg.cross_attention_dim), np.float32))
-    uncond = cond[:1]
-    noise = jnp.asarray(rng.standard_normal((batch, h, w, 4), np.float32))
+    for attempt_batch in (batch, batch // 2, max(batch // 4, 1)):
+        batch = attempt_batch
+        engine.batch_bucket = batch
+        cond = jnp.asarray(rng.standard_normal(
+            (batch, 77, ucfg.cross_attention_dim), np.float32))
+        uncond = cond[:1]
+        noise = jnp.asarray(rng.standard_normal((batch, h, w, 4),
+                                                np.float32))
+        try:
+            # warmup/compile
+            t0 = time.time()
+            imgs = engine.denoise_frames_async(
+                cond, uncond, noise, num_inference_steps=steps)[0]
+            jax.block_until_ready(imgs)
+            compile_s = time.time() - t0
 
-    # warmup/compile
-    t0 = time.time()
-    imgs = engine.denoise_frames(cond, uncond, noise,
-                                 num_inference_steps=steps)
-    compile_s = time.time() - t0
-
-    # timed runs
-    n_runs = 3
-    t0 = time.time()
-    for _ in range(n_runs):
-        fut, valid = engine.denoise_frames_async(cond, uncond, noise,
-                                                 num_inference_steps=steps)
-    jax.block_until_ready(fut)
-    dt = (time.time() - t0) / n_runs
+            # timed runs
+            n_runs = 3
+            t0 = time.time()
+            for _ in range(n_runs):
+                fut, valid = engine.denoise_frames_async(
+                    cond, uncond, noise, num_inference_steps=steps)
+            jax.block_until_ready(fut)
+            dt = (time.time() - t0) / n_runs
+            break
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt_batch == 1:
+                raise
+            print(f"# batch {attempt_batch} OOM; retrying smaller",
+                  file=sys.stderr, flush=True)
 
     fps_chip = batch / dt / n_chips
     result = {
