@@ -73,10 +73,16 @@ class JobManager:
 
 
 class Server:
-    def __init__(self, pipeline):
+    def __init__(self, pipeline, max_batch: int = 16,
+                 batch_delay_ms: float = 25.0):
+        from .batcher import DynamicBatcher
         self.pipeline = pipeline
         self.jobs = JobManager()
-        self.dispatch_lock = threading.Lock()  # one device program at a time
+        self.dispatch_lock = threading.Lock()  # serialises long walk jobs
+        #: concurrent /generate requests with the same signature merge into
+        #: one sharded dispatch
+        self.batcher = DynamicBatcher(pipeline, max_batch=max_batch,
+                                      max_delay_ms=batch_delay_ms)
         self._httpd = None
 
     # ------------------------------------------------------------------
@@ -104,19 +110,15 @@ class Server:
             raise ValueError("len(seeds) != len(prompts)")
 
         pipe = self.pipeline
-        with self.dispatch_lock:
-            embeds = pipe.engine.embed_text(list(prompts))
-            uncond = pipe.engine.embed_text(body.get("negative_prompt") or "")
-            height = int(body.get("height") or pipe.models.default_size)
-            width = int(body.get("width") or pipe.models.default_size)
-            noise = np.concatenate([
-                pipe.init_noise(s, pipe._latent_shape(height, width))
-                for s in seeds])
-            images = pipe.engine.denoise_frames(
-                embeds, uncond, noise,
-                num_inference_steps=int(body.get("num_inference_steps", 50)),
-                guidance_scale=float(body.get("guidance_scale", 7.5)),
-                eta=float(body.get("eta", 0.0)))
+        futures = [self.batcher.submit(
+            prompt, seed,
+            num_inference_steps=int(body.get("num_inference_steps", 50)),
+            guidance_scale=float(body.get("guidance_scale", 7.5)),
+            eta=float(body.get("eta", 0.0)),
+            height=body.get("height"), width=body.get("width"),
+            negative_prompt=body.get("negative_prompt"))
+            for prompt, seed in zip(prompts, seeds)]
+        images = np.stack([f.result(timeout=600) for f in futures])
         out = []
         for pil in pipe._postprocess(images):
             buf = io.BytesIO()
@@ -192,6 +194,7 @@ class Server:
         self._httpd.serve_forever()
 
     def shutdown(self):
+        self.batcher.stop()
         if self._httpd:
             self._httpd.shutdown()
             self._httpd = None

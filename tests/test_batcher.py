@@ -1,0 +1,77 @@
+"""Dynamic batching tests."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
+    return StableDiffusionWalkPipeline.tiny()
+
+
+def test_batcher_merges_compatible_requests(pipeline):
+    from stable_diffusion_videos_tpu.runtime.batcher import DynamicBatcher
+    b = DynamicBatcher(pipeline, max_batch=8, max_delay_ms=200).start()
+    try:
+        dispatches = []
+        real = pipeline.engine.denoise_frames
+
+        def spy(cond, uncond, noise, **kw):
+            dispatches.append(noise.shape[0])
+            return real(cond, uncond, noise, **kw)
+
+        pipeline.engine.denoise_frames = spy
+        futs = [b.submit(f"p{i}", seed=i, num_inference_steps=2)
+                for i in range(4)]
+        frames = [f.result(timeout=300) for f in futs]
+        assert all(f.shape[-1] == 3 for f in frames)
+        # all four requests merged into one (or at most two) dispatches
+        assert sum(dispatches) >= 4 and len(dispatches) <= 2
+    finally:
+        pipeline.engine.denoise_frames = real
+        b.stop()
+
+
+def test_batcher_separates_incompatible_signatures(pipeline):
+    from stable_diffusion_videos_tpu.runtime.batcher import DynamicBatcher
+    b = DynamicBatcher(pipeline, max_batch=8, max_delay_ms=100).start()
+    try:
+        f1 = b.submit("a", seed=1, num_inference_steps=2)
+        f2 = b.submit("b", seed=2, num_inference_steps=3)  # different steps
+        r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+        assert r1.shape == r2.shape
+    finally:
+        b.stop()
+
+
+def test_batcher_result_matches_direct(pipeline):
+    """Batched output must equal a direct single-frame generation."""
+    from stable_diffusion_videos_tpu.runtime.batcher import DynamicBatcher
+    b = DynamicBatcher(pipeline, max_batch=4, max_delay_ms=10).start()
+    try:
+        got = b.submit("same prompt", seed=9,
+                       num_inference_steps=2).result(timeout=300)
+        direct = pipeline(prompt="same prompt", seed=9,
+                          num_inference_steps=2, output_type="np")[0]
+        np.testing.assert_allclose(got, direct, atol=1e-5)
+    finally:
+        b.stop()
+
+
+def test_batcher_error_propagates(pipeline):
+    from stable_diffusion_videos_tpu.runtime.batcher import DynamicBatcher
+    b = DynamicBatcher(pipeline, max_batch=4, max_delay_ms=10).start()
+    try:
+        real = pipeline.engine.denoise_frames
+        pipeline.engine.denoise_frames = lambda *a, **k: (_ for _ in ()) \
+            .throw(RuntimeError("boom"))
+        fut = b.submit("x", seed=1, num_inference_steps=2)
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=60)
+    finally:
+        pipeline.engine.denoise_frames = real
+        b.stop()
