@@ -438,6 +438,39 @@ class StableDiffusionWalkPipeline:
                     glob_pattern=f"**/frame*{image_file_ext}")
         return str(save_path_root)
 
+    def img2img(self, image, prompt: str, strength: float = 0.75,
+                num_inference_steps: int = 50, guidance_scale: float = 7.5,
+                eta: float = 0.0, negative_prompt: Optional[str] = None,
+                seed: int = 0, output_type: str = "pil"):
+        """Image-to-image: re-noise an input image partway and denoise toward
+        ``prompt`` (beyond the reference's feature set; ddim/euler/dpm).
+
+        ``image``: PIL.Image or (H,W,3)/(B,H,W,3) array (uint8 or [0,1])."""
+        if isinstance(image, Image.Image):
+            arr = np.asarray(image.convert("RGB"), np.float32) / 255.0
+        else:
+            arr = np.asarray(image, np.float32)
+            if arr.dtype == np.uint8 or arr.max() > 1.5:
+                arr = arr / 255.0
+        if arr.ndim == 3:
+            arr = arr[None]
+        latents = self.engine.encode_image(arr * 2.0 - 1.0)
+        cond = self.engine.embed_text(prompt)
+        if latents.shape[0] > 1 and cond.shape[0] == 1:
+            cond = jax.numpy.broadcast_to(cond,
+                                          (latents.shape[0],) + cond.shape[1:])
+        uncond = self.engine.embed_text(negative_prompt or "")
+        with self.timer.stage("denoise"):
+            images = self.engine.img2img(
+                cond, uncond, latents, strength=strength,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, eta=eta,
+                key=jax.random.PRNGKey(int(seed)))
+        self.timer.add_frames(len(images))
+        if output_type == "pil":
+            return self._postprocess(images)
+        return images
+
     # ------------------------------------------------------------------
     def _ensure_upsampler(self):
         if self.upsampler is None:

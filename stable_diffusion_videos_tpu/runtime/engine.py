@@ -314,6 +314,90 @@ class Engine:
             return np.concatenate([lo, hi])
 
     # ------------------------------------------------------------------
+    # img2img (beyond the reference's scope; natural engine extension)
+    # ------------------------------------------------------------------
+    def _sliced_tables(self, tables: SchedTables, k0: int) -> SchedTables:
+        """Drop the first ``k0`` loop steps (img2img starts mid-schedule).
+        Valid for index-aligned-table samplers (ddim/euler/dpm)."""
+        if self.scheduler_name not in ("ddim", "euler", "dpm"):
+            raise NotImplementedError(
+                f"img2img supports ddim/euler/dpm (index-aligned tables); "
+                f"{self.scheduler_name} carries warm-up history")
+        d = {}
+        n_loop = self.sched.num_loop_steps(tables)
+        for k, v in tables.items():
+            if (hasattr(v, "shape") and v.ndim >= 1
+                    and v.shape[0] in (n_loop, n_loop + 1)):
+                d[k] = v[k0:]
+            else:
+                d[k] = v
+        if self.scheduler_name == "dpm":
+            # the first sliced step has no model-output history
+            d["first_order"] = d["first_order"].at[0].set(True)
+            d["h0"] = d["h0"].at[0].set(1.0)
+        # the caller supplies an already-noised latent at the k0 noise level
+        d["init_noise_sigma"] = jnp.float32(1.0)
+        return SchedTables(d)
+
+    def img2img(self, cond, uncond, init_latents, *, strength: float = 0.75,
+                num_inference_steps: int = 50, guidance_scale: float = 7.5,
+                eta: float = 0.0, key=None) -> np.ndarray:
+        """Denoise from a noised version of ``init_latents`` (scaled VAE
+        means, (B, h, w, 4)): ``strength`` in (0, 1] controls how much of the
+        schedule runs (1.0 == full txt2img from noise)."""
+        if not 0.0 < strength <= 1.0:
+            raise ValueError("strength must be in (0, 1]")
+        tables = self._tables(num_inference_steps, eta)
+        n_loop = self.sched.num_loop_steps(tables)
+        k0 = min(n_loop - 1, int(round(n_loop * (1.0 - strength))))
+        sliced = self._sliced_tables(tables, k0)
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, knoise = jax.random.split(key)
+        noise = jax.random.normal(knoise, init_latents.shape, jnp.float32)
+        lat = jnp.asarray(init_latents, jnp.float32)
+        if self.scheduler_name == "euler":
+            sigma0 = sliced["sigmas"][0]
+            noisy = lat + sigma0 * noise
+        else:
+            t0 = sliced["timesteps"][0].astype(jnp.int32)
+            noisy = self.sched.add_noise(tables, lat, noise, t0)
+
+        B = noisy.shape[0]
+        Bp = pad_to_multiple(max(B, self.batch_bucket), self.batch_bucket)
+        if uncond.shape[0] == 1 and B > 1:
+            uncond = jnp.broadcast_to(uncond, (B,) + uncond.shape[1:])
+
+        def pad(x):
+            if x.shape[0] == Bp:
+                return jnp.asarray(x)
+            widths = [(0, Bp - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(jnp.asarray(x), widths)
+
+        bs = batch_sharding(self.mesh)
+        context = jax.device_put(
+            jnp.concatenate([pad(uncond), pad(cond)], axis=0), bs)
+        noisy_p = jax.device_put(pad(noisy), bs)
+        h, w = noisy.shape[1], noisy.shape[2]
+        fn = self._get_compiled(Bp, h, w,
+                                ("img2img", num_inference_steps, k0),
+                                cond.shape[1])
+        imgs = fn(self._params, context, noisy_p,
+                  jnp.float32(guidance_scale), sliced, key)
+        if self.vae_tile is not None:
+            imgs = self.decode_latents_tiled(imgs)
+        return np.asarray(imgs)[:B]
+
+    def encode_image(self, images) -> jax.Array:
+        """(B,H,W,3) in [-1,1] -> scaled latents for img2img."""
+        vae = self.models.vae()
+        mean, _ = vae.apply(self._params["vae"],
+                            jnp.asarray(images, jnp.float32),
+                            method=type(vae).encode)
+        return mean * self.models.vae_config.scaling_factor
+
+    # ------------------------------------------------------------------
     # safety checker
     # ------------------------------------------------------------------
     def check_safety(self, images: np.ndarray) -> np.ndarray:
