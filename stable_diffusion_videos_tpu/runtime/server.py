@@ -127,6 +127,25 @@ class Server:
         return {"images": out, "seeds": list(map(int, seeds)),
                 "format": "png;base64"}
 
+    def _handle_img2img(self, body: dict):
+        if "image" not in body or "prompt" not in body:
+            raise ValueError("img2img requires 'image' (base64 PNG/JPEG) "
+                             "and 'prompt'")
+        from PIL import Image
+        img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
+        with self.dispatch_lock:
+            pils = self.pipeline.img2img(
+                img, body["prompt"],
+                strength=float(body.get("strength", 0.75)),
+                num_inference_steps=int(body.get("num_inference_steps", 50)),
+                guidance_scale=float(body.get("guidance_scale", 7.5)),
+                negative_prompt=body.get("negative_prompt"),
+                seed=int(body.get("seed", 0)))
+        buf = io.BytesIO()
+        pils[0].save(buf, format="PNG")
+        return {"images": [base64.b64encode(buf.getvalue()).decode()],
+                "format": "png;base64"}
+
     def _handle_walk(self, body: dict):
         def run():
             with self.dispatch_lock:
@@ -169,9 +188,12 @@ class Server:
                     if self.path == "/generate":
                         return self._reply(
                             200, server_self._handle_generate(body))
+                    if self.path == "/img2img":
+                        return self._reply(
+                            200, server_self._handle_img2img(body))
                     if self.path == "/walk":
                         return self._reply(202, server_self._handle_walk(body))
-                except (ValueError, TypeError) as e:
+                except (ValueError, TypeError, NotImplementedError) as e:
                     return self._reply(400, {"error": str(e)})
                 except Exception as e:
                     logger.exception("request failed")

@@ -128,3 +128,33 @@ def test_concurrent_generate(served):
     assert len(results) == 2
     assert all(status == 200 for status, _ in results)
     assert {tuple(s) for _, s in results} == {(11,), (22,)}
+
+
+def test_img2img_endpoint(tmp_path):
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.runtime.server import Server
+    server = Server(StableDiffusionWalkPipeline(SDModels.tiny(),
+                                                scheduler="ddim"))
+    host, port = server.start(port=0)
+    try:
+        img = Image.fromarray(np.random.default_rng(0)
+                              .integers(0, 255, (16, 16, 3)).astype(np.uint8))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        status, body = _req(host, port, "POST", "/img2img", {
+            "image": base64.b64encode(buf.getvalue()).decode(),
+            "prompt": "remix", "num_inference_steps": 3, "strength": 0.6})
+        assert status == 200
+        out = Image.open(_io.BytesIO(base64.b64decode(body["images"][0])))
+        assert out.size == (16, 16)
+        # missing image -> 400
+        status, body = _req(host, port, "POST", "/img2img", {"prompt": "x"})
+        assert status == 400
+    finally:
+        server.shutdown()
