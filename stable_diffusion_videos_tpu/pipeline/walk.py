@@ -471,6 +471,51 @@ class StableDiffusionWalkPipeline:
             return self._postprocess(images)
         return images
 
+    def inpaint(self, image, mask, prompt: str,
+                num_inference_steps: int = 50, guidance_scale: float = 7.5,
+                negative_prompt: Optional[str] = None, seed: int = 0,
+                output_type: str = "pil"):
+        """Masked regeneration: ``mask`` white (1) = regenerate from
+        ``prompt``, black (0) = keep ``image``.  mask: PIL (L/RGB) or (H,W)
+        array; ddim/euler/dpm samplers."""
+        if isinstance(image, Image.Image):
+            arr = np.asarray(image.convert("RGB"), np.float32) / 255.0
+        else:
+            arr = np.asarray(image, np.float32)
+            if arr.dtype == np.uint8 or arr.max() > 1.5:
+                arr = arr / 255.0
+        if arr.ndim == 3:
+            arr = arr[None]
+        if isinstance(mask, Image.Image):
+            m = np.asarray(mask.convert("L"), np.float32) / 255.0
+        else:
+            m = np.asarray(mask, np.float32)
+            if m.max() > 1.5:
+                m = m / 255.0
+        latents = self.engine.encode_image(arr * 2.0 - 1.0)
+        f = self.models.vae_scale_factor
+        lh, lw = arr.shape[1] // f, arr.shape[2] // f
+        import jax.image as jimage
+        m_lat = np.asarray(jimage.resize(jax.numpy.asarray(m), (lh, lw),
+                                         "nearest"))
+        m_lat = np.broadcast_to(m_lat[None, :, :, None],
+                                (latents.shape[0], lh, lw, 1))
+        cond = self.engine.embed_text(prompt)
+        if latents.shape[0] > 1 and cond.shape[0] == 1:
+            cond = jax.numpy.broadcast_to(
+                cond, (latents.shape[0],) + cond.shape[1:])
+        uncond = self.engine.embed_text(negative_prompt or "")
+        with self.timer.stage("denoise"):
+            images = self.engine.inpaint(
+                cond, uncond, latents, m_lat,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale,
+                key=jax.random.PRNGKey(int(seed)))
+        self.timer.add_frames(len(images))
+        if output_type == "pil":
+            return self._postprocess(images)
+        return images
+
     # ------------------------------------------------------------------
     def _ensure_upsampler(self):
         if self.upsampler is None:

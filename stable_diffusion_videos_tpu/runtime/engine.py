@@ -389,6 +389,108 @@ class Engine:
             imgs = self.decode_latents_tiled(imgs)
         return np.asarray(imgs)[:B]
 
+    def inpaint(self, cond, uncond, init_latents, mask, *,
+                num_inference_steps: int = 50, guidance_scale: float = 7.5,
+                eta: float = 0.0, key=None) -> np.ndarray:
+        """Masked generation: regenerate where ``mask``==1, keep the init
+        image elsewhere by re-injecting the correctly-noised known region
+        after every scheduler step (RePaint-style projection).
+
+        init_latents: (B, h, w, 4) scaled VAE means; mask: (B, h, w, 1)
+        float in [0, 1] at latent resolution."""
+        if self.scheduler_name not in ("ddim", "euler", "dpm"):
+            raise NotImplementedError(
+                "inpaint supports ddim/euler/dpm (needs per-index noise "
+                "levels; warm-up samplers not supported)")
+        tables = self._tables(num_inference_steps, eta)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        B = init_latents.shape[0]
+        Bp = pad_to_multiple(max(B, self.batch_bucket), self.batch_bucket)
+        if uncond.shape[0] == 1 and B > 1:
+            uncond = jnp.broadcast_to(uncond, (B,) + uncond.shape[1:])
+
+        def pad(x):
+            if x.shape[0] == Bp:
+                return jnp.asarray(x)
+            widths = [(0, Bp - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(jnp.asarray(x), widths)
+
+        bs = batch_sharding(self.mesh)
+        context = jax.device_put(
+            jnp.concatenate([pad(uncond), pad(cond)], axis=0), bs)
+        init_p = jax.device_put(pad(jnp.asarray(init_latents, jnp.float32)),
+                                bs)
+        mask_p = jax.device_put(pad(jnp.asarray(mask, jnp.float32)), bs)
+
+        h, w = init_latents.shape[1], init_latents.shape[2]
+        ckey = (Bp, h, w, ("inpaint", num_inference_steps), cond.shape[1])
+        with self._cache_lock:
+            if ckey not in self._compiled:
+                self._compiled[ckey] = self._build_inpaint(Bp, h, w)
+        fn = self._compiled[ckey]
+        imgs = fn(self._params, context, init_p, mask_p,
+                  jnp.float32(guidance_scale), tables, key)
+        if self.vae_tile is not None:
+            imgs = self.decode_latents_tiled(imgs)
+        return np.asarray(imgs)[:B]
+
+    def _build_inpaint(self, batch: int, h: int, w: int):
+        sched = self.sched
+        unet = self.models.unet()
+        vae = self.models.vae()
+        scale = self.models.vae_config.scaling_factor
+        sigma_space = self.scheduler_name in ("euler",)
+
+        def noised_known(tables, init, noise0, i):
+            """The known region at loop-index i's POST-step noise level."""
+            n_loop = sched.num_loop_steps(tables)
+            last = i >= n_loop - 1
+            if sigma_space:
+                sigma_next = tables["sigmas"][i + 1]
+                return init + sigma_next * noise0
+            t_next = jnp.where(last, 0,
+                               tables["timesteps"][jnp.minimum(i + 1,
+                                                               n_loop - 1)])
+            acp = tables["alphas_cumprod"][t_next.astype(jnp.int32)]
+            noised = jnp.sqrt(acp) * init + jnp.sqrt(1 - acp) * noise0
+            return jnp.where(last, init, noised)
+
+        def program(params, context, init, mask, guidance, tables, key):
+            key, kn, ks = jax.random.split(key, 3)
+            noise0 = jax.random.normal(kn, init.shape, jnp.float32)
+            lat = noise0 * sched.init_noise_sigma(tables)
+            state = sched.init_state(tables, init.shape, key=ks)
+            n_loop = sched.num_loop_steps(tables)
+
+            def body(carry, i):
+                lat, st = carry
+                t = sched.timestep(tables, i)
+                inp = sched.scale_model_input(tables, st, i, lat)
+                inp2 = jnp.concatenate([inp, inp], axis=0)
+                tb = jnp.broadcast_to(t, (inp2.shape[0],))
+                eps = unet.apply(params["unet"], inp2, tb, context)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance * (eps_c - eps_u)
+                st, lat = sched.step(tables, st, i, eps, lat)
+                known = noised_known(tables, init, noise0, i)
+                lat = mask * lat + (1.0 - mask) * known
+                return (lat, st), None
+
+            (lat, _), _ = jax.lax.scan(body, (lat, state),
+                                       jnp.arange(n_loop))
+            imgs = vae.apply(params["vae"], lat / scale,
+                             method=AutoencoderKL.decode)
+            return jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+        bs = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(program,
+                       in_shardings=(self._param_shardings, bs, bs, bs, rep,
+                                     rep, rep),
+                       out_shardings=bs)
+
     def encode_image(self, images) -> jax.Array:
         """(B,H,W,3) in [-1,1] -> scaled latents for img2img."""
         vae = self.models.vae()
