@@ -146,6 +146,25 @@ class Server:
         return {"images": [base64.b64encode(buf.getvalue()).decode()],
                 "format": "png;base64"}
 
+    def _handle_inpaint(self, body: dict):
+        for k in ("image", "mask", "prompt"):
+            if k not in body:
+                raise ValueError(f"inpaint requires '{k}'")
+        from PIL import Image
+        img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
+        mask = Image.open(io.BytesIO(base64.b64decode(body["mask"])))
+        with self.dispatch_lock:
+            pils = self.pipeline.inpaint(
+                img, mask, body["prompt"],
+                num_inference_steps=int(body.get("num_inference_steps", 50)),
+                guidance_scale=float(body.get("guidance_scale", 7.5)),
+                negative_prompt=body.get("negative_prompt"),
+                seed=int(body.get("seed", 0)))
+        buf = io.BytesIO()
+        pils[0].save(buf, format="PNG")
+        return {"images": [base64.b64encode(buf.getvalue()).decode()],
+                "format": "png;base64"}
+
     def _handle_walk(self, body: dict):
         def run():
             with self.dispatch_lock:
@@ -191,6 +210,9 @@ class Server:
                     if self.path == "/img2img":
                         return self._reply(
                             200, server_self._handle_img2img(body))
+                    if self.path == "/inpaint":
+                        return self._reply(
+                            200, server_self._handle_inpaint(body))
                     if self.path == "/walk":
                         return self._reply(202, server_self._handle_walk(body))
                 except (ValueError, TypeError, NotImplementedError) as e:

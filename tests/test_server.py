@@ -158,3 +158,35 @@ def test_img2img_endpoint(tmp_path):
         assert status == 400
     finally:
         server.shutdown()
+
+
+def test_inpaint_endpoint():
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
+    from stable_diffusion_videos_tpu.runtime.server import Server
+    server = Server(StableDiffusionWalkPipeline(SDModels.tiny(),
+                                                scheduler="ddim"))
+    host, port = server.start(port=0)
+    try:
+        def b64(arr, mode="RGB"):
+            buf = _io.BytesIO()
+            Image.fromarray(arr, mode).save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        mask = np.zeros((16, 16), np.uint8)
+        mask[:, 8:] = 255
+        status, body = _req(host, port, "POST", "/inpaint", {
+            "image": b64(img), "mask": b64(mask, "L"), "prompt": "patch",
+            "num_inference_steps": 3})
+        assert status == 200 and len(body["images"]) == 1
+        status, _ = _req(host, port, "POST", "/inpaint", {"prompt": "x"})
+        assert status == 400
+    finally:
+        server.shutdown()
