@@ -270,6 +270,20 @@ class StableDiffusionWalkPipeline:
         output_path = Path(output_dir)
         name = name or time.strftime("%Y%m%d-%H%M%S")
         save_path_root = output_path / name
+
+        # validate BEFORE touching the filesystem (the reference mkdirs
+        # first, littering empty run dirs on bad args)
+        if not resume:
+            if prompts is None or seeds is None:
+                raise ValueError("prompts and seeds are required")
+            if len(prompts) != len(seeds):
+                raise ValueError("#prompts must equal #seeds")
+            if len(prompts) < 2:
+                raise ValueError("need at least 2 prompts to walk between")
+            if (not isinstance(num_interpolation_steps, int)
+                    and len(num_interpolation_steps) != len(prompts) - 1):
+                raise ValueError("len(num_interpolation_steps) must be "
+                                 "len(prompts) - 1")
         save_path_root.mkdir(parents=True, exist_ok=True)
 
         if upsample:
@@ -299,12 +313,6 @@ class StableDiffusionWalkPipeline:
             negative_prompt = data.get("negative_prompt")
             logger.info("resuming %s", save_path_root)
 
-        if prompts is None or seeds is None:
-            raise ValueError("prompts and seeds are required")
-        if len(prompts) != len(seeds):
-            raise ValueError("#prompts must equal #seeds")
-        if len(prompts) < 2:
-            raise ValueError("need at least 2 prompts to walk between")
         if isinstance(num_interpolation_steps, int):
             num_interpolation_steps = [num_interpolation_steps] * (
                 len(prompts) - 1)
