@@ -160,6 +160,25 @@ def main():
             "out_shape": list(np.asarray(imgs).shape),
         },
     }
+    record = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_tpu_last.json")
+    if on_tpu:
+        try:
+            with open(record, "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
+    else:
+        # CPU smoke numbers are not comparable; attach the last real-TPU
+        # measurement for context (the axon chip grant can be unavailable
+        # for long stretches — see ROADMAP.md operational notes)
+        result["detail"]["note"] = ("CPU fallback (TPU grant unavailable); "
+                                    "value is a smoke check, not the metric")
+        try:
+            with open(record) as f:
+                result["detail"]["last_known_tpu"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     print(json.dumps(result))
 
 
