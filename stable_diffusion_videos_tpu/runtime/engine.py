@@ -313,6 +313,28 @@ class Engine:
             hi = self.denoise_frames(cond[half:], uncond, noise[half:], **kw)
             return np.concatenate([lo, hi])
 
+    def warmup(self, *, num_inference_steps: int = 50,
+               height: Optional[int] = None, width: Optional[int] = None,
+               batches=(None,)) -> float:
+        """Precompile the denoise program(s) for the given shapes (serving
+        cold-start elimination).  Returns seconds spent compiling."""
+        import time as _time
+        height = height or self.models.default_size
+        width = width or self.models.default_size
+        f = self.models.vae_scale_factor
+        c = self.models.unet_config.in_channels
+        d = self.models.text_config.hidden_size
+        t0 = _time.perf_counter()
+        for b in batches:
+            b = b or self.batch_bucket
+            cond = jnp.zeros((b, 77, d))
+            noise = jnp.zeros((b, height // f, width // f, c))
+            imgs, _ = self.denoise_frames_async(
+                cond, cond[:1], noise,
+                num_inference_steps=num_inference_steps)
+            jax.block_until_ready(imgs)
+        return _time.perf_counter() - t0
+
     # ------------------------------------------------------------------
     # img2img (beyond the reference's scope; natural engine extension)
     # ------------------------------------------------------------------

@@ -196,3 +196,26 @@ def test_tiled_vae_decode_matches_full():
     assert diff.mean() < 0.05 and np.isfinite(got).all()
     center = diff[:, 12:20, 12:20]  # a region inside one tile's interior
     assert center.mean() < 0.1
+
+
+def test_engine_warmup_precompiles(engine):
+    import jax.numpy as jnp
+    n0 = len(engine._compiled)
+    secs = engine.warmup(num_inference_steps=2, batches=(2,))
+    assert secs >= 0
+    n1 = len(engine._compiled)
+    assert n1 >= n0
+    # a subsequent matching dispatch reuses the compiled program
+    cond = engine.embed_text(["w"])
+    engine.denoise_frames(cond, cond, jnp.zeros((2, 8, 8, 4)),
+                          num_inference_steps=2)
+    assert len(engine._compiled) == n1
+
+
+def test_profiler_trace_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("SDV_PROFILE_DIR", str(tmp_path))
+    from stable_diffusion_videos_tpu.utils.profiling import trace
+    with trace("unit"):
+        import jax.numpy as jnp
+        jnp.zeros((4,)).block_until_ready()
+    assert any(tmp_path.rglob("*")), "no trace files written"
