@@ -543,9 +543,11 @@ class StableDiffusionWalkPipeline:
                  text_embeddings: Optional[np.ndarray] = None,
                  negative_prompt: Optional[str] = None,
                  seed: Optional[int] = None,
-                 output_type: str = "pil"):
+                 output_type: str = "pil", return_dict: bool = False):
         """txt2img accepting precomputed ``text_embeddings`` and ``latents``
-        (the key reference extension enabling walks)."""
+        (the key reference extension enabling walks).  ``return_dict=True``
+        returns the reference ``__call__``'s dict shape
+        (``stable_diffusion_pipeline.py:449-455``)."""
         height = height or self.models.default_size
         width = width or self.models.default_size
         if text_embeddings is None:
@@ -567,6 +569,11 @@ class StableDiffusionWalkPipeline:
                 num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale, eta=eta)
         self.timer.add_frames(len(images))
+        if return_dict:
+            flags = (self.engine.check_safety(images) if self.safety
+                     else np.zeros(len(images), bool))
+            return {"images": self._postprocess(images),
+                    "nsfw_content_detected": flags.tolist()}
         if output_type == "pil":
             return self._postprocess(images)
         return images

@@ -195,3 +195,10 @@ def test_walk_with_safety_checker(run_dir):
               output_dir=str(run_dir), name="safe", make_video=False)
     frames = sorted((run_dir / "safe").glob("**/frame*.png"))
     assert len(frames) == 2
+
+
+def test_call_return_dict(pipeline):
+    out = pipeline(prompt="hi", num_inference_steps=2, return_dict=True)
+    assert set(out) == {"images", "nsfw_content_detected"}
+    assert len(out["images"]) == 1
+    assert out["nsfw_content_detected"] == [False]
