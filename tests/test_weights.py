@@ -132,3 +132,47 @@ def test_rrdbnet_roundtrip_shapes():
     assert got_shapes == want_shapes
     out = RRDBNet(cfg).apply(params, jnp.zeros((1, 8, 8, 3)))
     assert out.shape == (1, 32, 32, 3)
+
+
+def test_clip_vision_parity_vs_transformers():
+    """Safety-checker vision tower vs a real transformers CLIPVisionModel
+    (random init, tiny config): converted weights must reproduce the pooled
+    (pre-projection) output."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from stable_diffusion_videos_tpu.models.safety import (CLIPVisionConfig,
+                                                           CLIPVisionEncoder)
+
+    hf_cfg = transformers.CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, hidden_act="quick_gelu")
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModel(hf_cfg).eval()
+
+    rng = np.random.default_rng(0)
+    pix = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.tensor(pix.transpose(0, 3, 1, 2))
+                  ).pooler_output.numpy()
+
+    cfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                           intermediate_size=64, num_layers=2, num_heads=2)
+    sd = {f"vision_model.{k}": v.numpy() for k, v in hf.state_dict().items()}
+    # reuse the safety-checker converter's vision section
+    from stable_diffusion_videos_tpu.models import weights as W
+
+    class _Cfg:
+        vision = cfg
+    vis_params = W.convert_safety_checker(
+        {**sd,
+         "visual_projection.weight": np.zeros((16, 32), np.float32),
+         "concept_embeds": np.zeros((17, 16), np.float32),
+         "concept_embeds_weights": np.zeros((17,), np.float32),
+         "special_care_embeds": np.zeros((3, 16), np.float32),
+         "special_care_embeds_weights": np.zeros((3,), np.float32)},
+        _Cfg)["params"]["vision_model"]
+
+    got = CLIPVisionEncoder(cfg).apply({"params": vis_params},
+                                       jnp.asarray(pix))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=3e-4)
