@@ -44,7 +44,8 @@ class Engine:
     def __init__(self, models: SDModels, mesh=None, scheduler: str = "pndm",
                  batch_bucket: Optional[int] = None,
                  debug: Optional[bool] = None,
-                 vae_tile: Optional[int] = None, vae_tile_overlap: int = 16):
+                 vae_tile: Optional[int] = None, vae_tile_overlap: int = 16,
+                 spatial_shard: bool = False):
         self.models = models
         self.mesh = mesh if mesh is not None else make_mesh()
         #: debug=True swaps the fused lax.scan for a per-step python loop so
@@ -74,6 +75,12 @@ class Engine:
         #: fused into the denoise program)
         self.vae_tile = vae_tile
         self.vae_tile_overlap = vae_tile_overlap
+        #: sequence/spatial parallelism (SURVEY.md §5.7 stretch): constrain
+        #: the latent's W axis onto the mesh `model` axis — XLA SPMD
+        #: partitions the convs with halo exchanges and the attention with
+        #: all-gathers, scaling a SINGLE frame beyond one chip's HBM
+        self.spatial_shard = spatial_shard and self.mesh.shape.get(
+            "model", 1) > 1
         self._tile_decode_fn = None
         self._compiled: dict[tuple, Any] = {}
         self._tables_cache: dict[tuple, Any] = {}
@@ -124,11 +131,18 @@ class Engine:
         vae = self.models.vae()
         scale = self.models.vae_config.scaling_factor
 
+        spatial = None
+        if self.spatial_shard:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spatial = NamedSharding(self.mesh, P("data", None, "model", None))
+
         def body(params, context, guidance, tables, carry, i):
             lat, st = carry
             t = sched.timestep(tables, i)
             inp = sched.scale_model_input(tables, st, i, lat)
             inp2 = jnp.concatenate([inp, inp], axis=0)  # CFG 2x batch
+            if spatial is not None:
+                inp2 = jax.lax.with_sharding_constraint(inp2, spatial)
             tb = jnp.broadcast_to(t, (inp2.shape[0],))
             eps = unet.apply(params["unet"], inp2, tb, context)
             eps_u, eps_c = jnp.split(eps, 2, axis=0)

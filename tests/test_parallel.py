@@ -75,3 +75,24 @@ def test_shard_params_places_on_mesh():
     assert sharded["attn1"]["to_q"]["kernel"].sharding.spec == P(None, "model")
     assert sharded["bias"].sharding.spec == P()
     assert data_parallel_size(mesh) == 4
+
+
+def test_spatial_shard_matches_dp():
+    """Spatially-sharded denoise (latent W over `model`) must match plain DP
+    numerically — validates SPMD halo exchange through the whole UNet."""
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.runtime import Engine
+
+    models = SDModels.tiny()
+    cond_src = Engine(models, mesh=make_mesh(), scheduler="ddim")
+    cond = cond_src.embed_text(["sp1", "sp2"])
+    uncond = cond_src.embed_text("")
+    noise = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (2, 8, 8, 4), np.float32))
+    dp = cond_src.denoise_frames(cond, uncond, noise, num_inference_steps=2)
+
+    eng_sp = Engine(models, mesh=make_mesh(model=2), scheduler="ddim",
+                    spatial_shard=True)
+    assert eng_sp.spatial_shard
+    sp = eng_sp.denoise_frames(cond, uncond, noise, num_inference_steps=2)
+    np.testing.assert_allclose(dp, sp, atol=3e-4, rtol=2e-3)
