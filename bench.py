@@ -28,6 +28,31 @@ import numpy as np  # noqa: E402
 
 A100_BASELINE_FPS = 1.0  # frames/sec/GPU, fp16+xformers diffusers, 512^2/50
 
+# Plausibility guard: a v5e sustains at most ~197 TFLOP/s bf16 (v5p ~459);
+# any result whose implied FLOP/s exceeds PEAK_FLOPS_GUARD is a timing bug
+# (async dispatch measured as if complete), NOT a measurement.  Round 1
+# shipped exactly that bug: block_until_ready on the axon PJRT plugin
+# returned before device execution, "measuring" 7216 frames/s/chip.
+PEAK_FLOPS_GUARD = 0.9 * 459e12  # generous: 90% of the fastest TPU's peak
+UNET_FLOP_512 = 0.34e12   # SD1.x UNet fwd FLOPs per 512^2 sample
+VAE_FLOP_512 = 1.4e12     # VAE decode FLOPs per 512^2 frame (approx)
+
+
+def implied_flops_per_frame(side: int, steps: int) -> float:
+    """FLOPs each finished frame costs: steps x 2 (CFG) UNet + one decode."""
+    s = (side / 512.0) ** 2
+    return steps * 2 * UNET_FLOP_512 * s + VAE_FLOP_512 * s
+
+
+def sync(x) -> None:
+    """Wait for ``x`` to actually finish on-device.
+
+    ``jax.block_until_ready`` proved unreliable on the experimental axon
+    PJRT plugin (returned at enqueue); a device-to-host fetch of one output
+    element cannot complete before the producing dispatch does.
+    """
+    np.asarray(jax.device_get(x[(0,) * x.ndim]))
+
 
 def _tpu_available_or_reexec(max_attempts: int = 8,
                              wait_s: float = 150.0) -> bool:
@@ -36,6 +61,8 @@ def _tpu_available_or_reexec(max_attempts: int = 8,
     RESTARTING the process.  Re-exec up to ``max_attempts`` times before
     falling back to the CPU smoke config."""
     import sys
+    if os.environ.get("SDV_BENCH_FORCE_CPU", "") == "1":
+        return False
     try:
         jax.devices()
         return jax.default_backend() == "tpu"
@@ -121,21 +148,25 @@ def main():
         noise = jnp.asarray(rng.standard_normal((batch, h, w, 4),
                                                 np.float32))
         try:
-            # warmup/compile
-            t0 = time.time()
+            # warmup/compile (synced via D2H — see sync())
+            t0 = time.perf_counter()
             imgs = engine.denoise_frames_async(
                 cond, uncond, noise, num_inference_steps=steps)[0]
-            jax.block_until_ready(imgs)
-            compile_s = time.time() - t0
+            sync(imgs)
+            compile_s = time.perf_counter() - t0
 
-            # timed runs
+            # timed runs: EACH dispatch is timed to completion via a
+            # device-to-host fetch, which cannot lie about execution
             n_runs = 3
-            t0 = time.time()
+            times = []
             for _ in range(n_runs):
+                t0 = time.perf_counter()
                 fut, valid = engine.denoise_frames_async(
                     cond, uncond, noise, num_inference_steps=steps)
-            jax.block_until_ready(fut)
-            dt = (time.time() - t0) / n_runs
+                sync(fut)
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            dt = times[len(times) // 2]  # median
             break
         except jax.errors.JaxRuntimeError as e:
             if "RESOURCE_EXHAUSTED" not in str(e) or attempt_batch == 1:
@@ -144,6 +175,8 @@ def main():
                   file=sys.stderr, flush=True)
 
     fps_chip = batch / dt / n_chips
+    implied = fps_chip * implied_flops_per_frame(side, steps)
+    plausible = implied <= PEAK_FLOPS_GUARD
     result = {
         "metric": f"frames/sec/chip @ {side}x{side}, {steps} steps, CFG, "
                   f"batch {batch}, {jax.default_backend()}",
@@ -152,17 +185,37 @@ def main():
         "vs_baseline": round(fps_chip / A100_BASELINE_FPS, 4),
         "detail": {
             "seconds_per_dispatch": round(dt, 3),
+            "dispatch_times_s": [round(t, 3) for t in times],
+            "implied_tflops_per_chip": round(implied / 1e12, 1),
             "compile_plus_first_run_s": round(compile_s, 1),
             "chips": n_chips,
             "backend": jax.default_backend(),
             "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
                          else dtype),
-            "out_shape": list(np.asarray(imgs).shape),
+            "out_shape": list(imgs.shape),
         },
     }
     record = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_tpu_last.json")
-    if on_tpu:
+    if on_tpu and not plausible:
+        # A physically impossible number is a timing bug, not a result.
+        # Report the last honest record instead and never persist garbage.
+        print(f"# IMPLAUSIBLE: {fps_chip:.2f} f/s/chip implies "
+              f"{implied/1e12:.0f} TFLOP/s > guard "
+              f"{PEAK_FLOPS_GUARD/1e12:.0f}; timing bug suspected",
+              file=sys.stderr, flush=True)
+        try:
+            with open(record) as fh:
+                last = json.load(fh)
+            last.setdefault("detail", {})["note"] = (
+                "current run produced an implausible timing (see stderr); "
+                "reporting last-known-good TPU measurement instead")
+            print(json.dumps(last))
+            return
+        except (OSError, json.JSONDecodeError):
+            result["detail"]["note"] = ("IMPLAUSIBLE timing (exceeds chip "
+                                        "peak FLOP/s); do not trust")
+    elif on_tpu:
         try:
             with open(record, "w") as f:
                 json.dump(result, f)
