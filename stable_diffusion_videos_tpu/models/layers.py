@@ -73,16 +73,21 @@ class GroupNorm32(nn.Module):
 
 
 class ResnetBlock2D(nn.Module):
-    """GN->SiLU->Conv3x3 [+temb] ->GN->SiLU->Conv3x3, residual shortcut."""
+    """GN->SiLU->Conv3x3 [+temb] ->GN->SiLU->Conv3x3, residual shortcut.
+
+    ``eps`` follows diffusers: 1e-5 in the UNet, 1e-6 in the VAE
+    (validated numerically in tests/test_torch_parity.py)."""
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     tiled: bool = False
     groups: int = 32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, temb: Optional[jax.Array] = None):
         residual = x
-        h = GroupNorm32(self.groups, dtype=self.dtype, name="norm1")(x)
+        h = GroupNorm32(self.groups, epsilon=self.eps, dtype=self.dtype,
+                        name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3),
                     padding=conv_padding(self.tiled), dtype=self.dtype,
@@ -91,7 +96,8 @@ class ResnetBlock2D(nn.Module):
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm32(self.groups, dtype=self.dtype, name="norm2")(h)
+        h = GroupNorm32(self.groups, epsilon=self.eps, dtype=self.dtype,
+                        name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3),
                     padding=conv_padding(self.tiled), dtype=self.dtype,
@@ -103,17 +109,26 @@ class ResnetBlock2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Stride-2 conv downsampling.
+
+    diffusers semantics: the UNet builds Downsample2D with
+    ``downsample_padding=1`` (symmetric), while the VAE encoder builds it
+    with ``padding=0`` which triggers an asymmetric (0,1),(0,1) pad.  Both
+    give the same output shape but DIFFERENT numerics — set ``asymmetric``
+    accordingly (validated in tests/test_torch_parity.py)."""
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     tiled: bool = False
+    asymmetric: bool = False
 
     @nn.compact
     def __call__(self, x):
-        # diffusers pads (0,1),(0,1) for stride-2 conv downsampling;
-        # circular padding in tiled mode keeps seamlessness.
-        pad = "CIRCULAR" if self.tiled else [(1, 1), (1, 1)]
-        if not self.tiled:
+        if self.tiled:
+            pad = "CIRCULAR"
+        elif self.asymmetric:
             pad = [(0, 1), (0, 1)]
+        else:
+            pad = [(1, 1), (1, 1)]
         return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
                        dtype=self.dtype, name="conv")(x)
 
@@ -178,13 +193,14 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # epsilon=1e-5 matches torch nn.LayerNorm (diffusers default)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
                                dtype=self.dtype, name="attn1")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
                                dtype=self.dtype, name="attn2")(h, context)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 
@@ -200,7 +216,8 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         residual = x
-        out = GroupNorm32(32, dtype=self.dtype, name="norm")(x)
+        # diffusers Transformer2DModel hardcodes GN eps=1e-6
+        out = GroupNorm32(32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(out)
         out = out.reshape(b, h * w, c)
         for i in range(self.depth):
@@ -220,7 +237,9 @@ class VAEAttnBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        out = GroupNorm32(32, dtype=self.dtype, name="group_norm")(x)
+        # diffusers VAE attention GN eps=1e-6
+        out = GroupNorm32(32, epsilon=1e-6, dtype=self.dtype,
+                          name="group_norm")(x)
         out = out.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(out)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(out)

@@ -61,18 +61,20 @@ class Encoder(nn.Module):
                     name="conv_in")(x)
         for level, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
+                x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype, tiled=self.tiled,
                                   name=f"down_{level}_res_{j}")(x)
             if level != len(cfg.block_out_channels) - 1:
-                x = Downsample2D(ch, dtype=self.dtype, tiled=self.tiled,
+                x = Downsample2D(ch, asymmetric=True, dtype=self.dtype,
+                                 tiled=self.tiled,
                                  name=f"down_{level}_downsample")(x)
         ch = cfg.block_out_channels[-1]
-        x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
+        x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype, tiled=self.tiled,
                           name="mid_res_0")(x)
         x = VAEAttnBlock(dtype=self.dtype, name="mid_attn")(x)
-        x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
+        x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype, tiled=self.tiled,
                           name="mid_res_1")(x)
-        x = GroupNorm32(32, dtype=self.dtype, name="conv_norm_out")(x)
+        x = GroupNorm32(32, epsilon=1e-6, dtype=self.dtype,
+                        name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3),
                        padding=conv_padding(self.tiled), dtype=self.dtype,
@@ -91,20 +93,21 @@ class Decoder(nn.Module):
         ch = cfg.block_out_channels[-1]
         x = nn.Conv(ch, (3, 3), padding=conv_padding(self.tiled),
                     dtype=self.dtype, name="conv_in")(x)
-        x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
+        x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype, tiled=self.tiled,
                           name="mid_res_0")(x)
         x = VAEAttnBlock(dtype=self.dtype, name="mid_attn")(x)
-        x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
+        x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype, tiled=self.tiled,
                           name="mid_res_1")(x)
         for idx, level in enumerate(reversed(range(len(cfg.block_out_channels)))):
             ch = cfg.block_out_channels[level]
             for j in range(cfg.layers_per_block + 1):
-                x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
+                x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype, tiled=self.tiled,
                                   name=f"up_{level}_res_{j}")(x)
             if idx != len(cfg.block_out_channels) - 1:
                 x = Upsample2D(ch, dtype=self.dtype, tiled=self.tiled,
                                name=f"up_{level}_upsample")(x)
-        x = GroupNorm32(32, dtype=self.dtype, name="conv_norm_out")(x)
+        x = GroupNorm32(32, epsilon=1e-6, dtype=self.dtype,
+                        name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3),
                        padding=conv_padding(self.tiled), dtype=self.dtype,

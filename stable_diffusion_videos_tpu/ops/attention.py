@@ -30,13 +30,17 @@ def set_attention_backend(name: str):
     _BACKEND = name
 
 
-def _resolve_backend(seq_len: int) -> str:
+def _resolve_backend(seq_len: int, head_dim: int) -> str:
     if _BACKEND != "auto":
         return _BACKEND
-    # flash pays off for long sequences on TPU; tiny sequences (test configs,
-    # CLIP's 77 tokens) are faster through plain XLA fusion.
+    # Measured on the v5e (tools/profile_r02.json): the Pallas kernel pads
+    # head_dim to the 128-lane width, so at SD level-0 (S=4096, D=40) it
+    # wastes 3.2x MXU work and XLA wins (17.4ms vs 46.9ms at CFG batch 32).
+    # From D>=80 the padding waste is <=1.6x and flash wins (S=1024/D=80:
+    # 5.3 vs 6.5ms; VAE S=4096/D=512: 4.8 vs 7.3ms).  Tiny sequences (CLIP's
+    # 77 tokens) always go through XLA fusion.
     on_tpu = jax.default_backend() == "tpu"
-    return "flash" if (on_tpu and seq_len >= 1024) else "xla"
+    return "flash" if (on_tpu and seq_len >= 256 and head_dim >= 64) else "xla"
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -54,10 +58,11 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               scale: float | None = None) -> jax.Array:
     """Dispatch to the configured backend.  q:(B,Sq,H,D) k,v:(B,Sk,H,D)."""
-    backend = _resolve_backend(q.shape[1])
+    backend = _resolve_backend(q.shape[1], q.shape[-1])
     if backend == "flash":
         from .flash_attention import flash_attention
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention(q, k, v, scale=scale,
+                               tile_k=min(k.shape[1], 1024))
     return xla_attention(q, k, v, scale=scale)
 
 

@@ -22,8 +22,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+#: tuned on v5e (tools/profile_r02.json): tile_q=256 with the largest
+#: fitting tile_k consistently won the sweep
 DEFAULT_TILE_Q = 256
-DEFAULT_TILE_K = 512
+DEFAULT_TILE_K = 1024
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,

@@ -14,13 +14,14 @@ Writes machine-readable results to tools/profile_r02.json as it goes.
 """
 import json
 import os
+import sys
 import time
 import traceback
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax  # noqa: E402
-import sys  # noqa: E402
 
 try:
     jax.devices("axon")
@@ -108,14 +109,41 @@ try:
             x, w, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.bfloat16)
+    # conv reformulations: is XLA's conv emitter leaving MXU on the table?
+    def conv_9tap(x, w):
+        # 3x3 conv as 9 shifted (BHW,C)@(C,O) matmuls (roll-based borders:
+        # numerics differ at edges; this is a PERF probe only)
+        out = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                xs = jnp.roll(x, (-dy, -dx), (1, 2))
+                t = jnp.einsum("bhwc,co->bhwo", xs, w[dy + 1, dx + 1],
+                               preferred_element_type=jnp.bfloat16)
+                out = t if out is None else out + t
+        return out
+
+    def conv_im2col(x, w):
+        b, h, ww, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [xp[:, dy:dy + h, dx:dx + ww] for dy in range(3)
+             for dx in range(3)], axis=-1)  # (B,H,W,9C)
+        return jnp.einsum("bhwk,ko->bhwo", cols,
+                          w.reshape(9 * c, -1),
+                          preferred_element_type=jnp.bfloat16)
+
     for (B, H, C) in [(32, 64, 320), (32, 32, 640), (32, 16, 1280)]:
         x = jax.random.normal(k1, (B, H, H, C), jnp.bfloat16)
         w = jax.random.normal(k2, (3, 3, C, C), jnp.bfloat16) * 0.02
-        dt = timeit_chained(conv, x, w, iters=8)
-        tf = 2 * B * H * H * 9 * C * C / dt / 1e12
-        RESULTS["sol"][f"conv3x3_B{B}_{H}x{H}x{C}"] = {"s": dt, "tflops": tf}
-        print(f"conv3x3 B{B} {H}^2x{C}: {dt*1e3:.2f} ms  {tf:.1f} TFLOP/s",
-              flush=True)
+        fl = 2 * B * H * H * 9 * C * C
+        line = f"conv3x3 B{B} {H}^2x{C}:"
+        for name, fn in (("xla", conv), ("9tap", conv_9tap),
+                         ("im2col", conv_im2col)):
+            dt = timeit_chained(fn, x, w, iters=8)
+            RESULTS["sol"][f"conv3x3_{name}_B{B}_{H}x{H}x{C}"] = {
+                "s": dt, "tflops": fl / dt / 1e12}
+            line += f" {name} {dt*1e3:.2f}ms ({fl/dt/1e12:.1f}TF/s)"
+        print(line, flush=True)
     save()
 except Exception:
     traceback.print_exc()
@@ -220,9 +248,12 @@ except Exception:
 # ------------------------------------------------------------ unet step
 try:
     section("UNet CFG step: backend x batch ladder (SD geometry, bf16)")
+    import importlib
+
     from stable_diffusion_videos_tpu.models import UNet2DCondition, UNetConfig
     from stable_diffusion_videos_tpu.models.vae import AutoencoderKL, VAEConfig
-    from stable_diffusion_videos_tpu.ops import attention as attn_mod
+    attn_mod = importlib.import_module(
+        "stable_diffusion_videos_tpu.ops.attention")
 
     ucfg, vcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1()
     unet = UNet2DCondition(ucfg, dtype=jnp.bfloat16)
@@ -240,7 +271,7 @@ try:
     RESULTS["unet_step"] = {}
     UNET_FLOPS = 0.34e12  # per 512^2 sample fwd
 
-    for backend in ("flash", "xla"):
+    for backend in ("auto", "xla", "flash"):
         attn_mod.set_attention_backend(backend)
         for B in (8, 16, 32):
             lat = jax.random.normal(jax.random.PRNGKey(3),
@@ -315,10 +346,12 @@ try:
     FLOP_PER_FRAME = 50 * 2 * 0.34e12 + 1.4e12
     best = None
     # best backend from the unet-step section
-    flash_ok = RESULTS.get("unet_step", {}).get("flash_B16", {}).get("s")
-    xla_ok = RESULTS.get("unet_step", {}).get("xla_B16", {}).get("s")
-    backend = ("xla" if (flash_ok and xla_ok and xla_ok < flash_ok)
-               else "flash" if flash_ok else "xla")
+    import importlib as _il
+    attn_mod = _il.import_module("stable_diffusion_videos_tpu.ops.attention")
+    cands = {b: RESULTS.get("unet_step", {}).get(f"{b}_B16", {}).get("s")
+             for b in ("auto", "xla", "flash")}
+    timed = {b: s for b, s in cands.items() if s}
+    backend = min(timed, key=timed.get) if timed else "auto"
     print(f"engine attention backend: {backend}", flush=True)
     attn_mod.set_attention_backend(backend)
     for B in (16, 32):
