@@ -23,6 +23,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 import jax  # noqa: E402
+# env-var cache config is frozen before we run (axon sitecustomize imports
+# jax at interpreter start) — set via config.update instead
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

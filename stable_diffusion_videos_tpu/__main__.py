@@ -95,7 +95,9 @@ def cmd_compare(args):
     import json as _json
 
     from .utils.metrics import compare_frame_dirs
-    print(_json.dumps(compare_frame_dirs(args.a, args.b, glob=args.glob),
+    print(_json.dumps(compare_frame_dirs(args.a, args.b, glob=args.glob,
+                                         lpips_weights=args.lpips_weights,
+                                         lpips_net=args.lpips_net),
                       indent=2))
 
 
@@ -164,15 +166,22 @@ def main(argv=None):
     cv.set_defaults(fn=cmd_convert)
 
     cmp_ = sub.add_parser("compare",
-                          help="PSNR/SSIM parity between two frame dirs")
+                          help="PSNR/SSIM/LPIPS parity between two frame "
+                               "dirs")
     cmp_.add_argument("--a", required=True)
     cmp_.add_argument("--b", required=True)
     cmp_.add_argument("--glob", default="**/frame*.png")
+    cmp_.add_argument("--lpips-weights", default=None,
+                      help="torch .pth/.npz of AlexNet|VGG + lin heads "
+                           "(or env SDV_LPIPS_WEIGHTS)")
+    cmp_.add_argument("--lpips-net", default="alex", choices=("alex", "vgg"))
     cmp_.set_defaults(fn=cmd_compare)
 
     srv = sub.add_parser("serve", help="HTTP JSON inference server")
     _add_common(srv)
-    srv.add_argument("--host", default="0.0.0.0")
+    srv.add_argument("--host", default="127.0.0.1",
+                     help="bind address (default loopback; pass 0.0.0.0 "
+                          "explicitly to expose on the network)")
     srv.add_argument("--port", type=int, default=8000)
     srv.set_defaults(fn=cmd_serve)
 

@@ -400,20 +400,55 @@ def _read_json(path: Path) -> dict:
     return json.loads(path.read_text()) if path.exists() else {}
 
 
+#: weight/config files worth pulling from a hub snapshot (skips .ckpt dumps)
+_HUB_ALLOW_PATTERNS = ["*.json", "*.txt", "*.safetensors", "*.bin"]
+
+
+def resolve_checkpoint(path_or_id: str, cache_dir=None,
+                       revision=None) -> Path:
+    """Local diffusers-layout dir, or a hub id such as
+    ``CompVis/stable-diffusion-v1-4`` (the reference's ``from_pretrained``
+    argument, ``stable_diffusion_pipeline.py:856-858``).
+
+    A non-local path matching ``org/name`` is fetched with
+    ``huggingface_hub.snapshot_download``; when the hub is unreachable (this
+    build environment has no egress) the error says so clearly instead of
+    surfacing a socket traceback."""
+    import re
+
+    root = Path(path_or_id)
+    if root.exists():
+        return root
+    if not re.fullmatch(r"[\w.\-]+/[\w.\-]+", str(path_or_id)):
+        raise FileNotFoundError(
+            f"{path_or_id!r} is neither a local diffusers-layout directory "
+            "nor a hub id of the form 'org/name'")
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:
+        raise FileNotFoundError(
+            f"{path_or_id!r} is not a local directory and huggingface_hub "
+            "is not installed to download it") from e
+    try:
+        return Path(snapshot_download(repo_id=path_or_id, revision=revision,
+                                      cache_dir=cache_dir,
+                                      allow_patterns=_HUB_ALLOW_PATTERNS))
+    except Exception as e:
+        raise FileNotFoundError(
+            f"could not download {path_or_id!r} from the Hugging Face hub "
+            f"(offline or repo missing): {type(e).__name__}: {e}") from e
+
+
 def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
                        with_safety: bool = True, cls=None):
-    """diffusers-layout checkpoint dir -> SDModels bundle."""
+    """diffusers-layout checkpoint dir OR hub id -> SDModels bundle."""
     from ..core.schedulers import SchedulerConfig
     from .bundle import SDModels
     from .safety import SafetyConfig
     from .tokenizer import CLIPBPETokenizer
 
     cls = cls or SDModels
-    root = Path(path)
-    if not root.exists():
-        raise FileNotFoundError(
-            f"{root} not found (no network egress: checkpoints must be "
-            "local diffusers-layout directories)")
+    root = resolve_checkpoint(path)
 
     ucfg = _unet_config_from_json(_read_json(root / "unet" / "config.json"))
     vcfg = _vae_config_from_json(_read_json(root / "vae" / "config.json"))

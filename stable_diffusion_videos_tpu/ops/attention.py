@@ -33,14 +33,17 @@ def set_attention_backend(name: str):
 def _resolve_backend(seq_len: int, head_dim: int) -> str:
     if _BACKEND != "auto":
         return _BACKEND
-    # Measured on the v5e (tools/profile_r02.json): the Pallas kernel pads
-    # head_dim to the 128-lane width, so at SD level-0 (S=4096, D=40) it
-    # wastes 3.2x MXU work and XLA wins (17.4ms vs 46.9ms at CFG batch 32).
-    # From D>=80 the padding waste is <=1.6x and flash wins (S=1024/D=80:
-    # 5.3 vs 6.5ms; VAE S=4096/D=512: 4.8 vs 7.3ms).  Tiny sequences (CLIP's
-    # 77 tokens) always go through XLA fusion.
+    # Measured on the v5e (tools/profile_r02.json, round 2): inside the FULL
+    # UNet the flash backend is strictly slower (CFG B=8/16/32: 176/353/727
+    # ms vs XLA's 132/264/536) — the Pallas kernel pads head_dim to the
+    # 128-lane width, wasting 3.2x MXU work at SD's D=40 and 1.6x at D=80,
+    # and XLA's fused einsum-softmax-einsum wins at every UNet shape.  The
+    # one shape where flash measured faster is the VAE mid block's
+    # single-head D=512 full self-attention (5.2 vs 7.8ms at S=4096).  Tiny
+    # sequences (CLIP's 77 tokens) always go through XLA fusion.
     on_tpu = jax.default_backend() == "tpu"
-    return "flash" if (on_tpu and seq_len >= 256 and head_dim >= 64) else "xla"
+    return "flash" if (on_tpu and seq_len >= 1024 and head_dim >= 256) \
+        else "xla"
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -540,13 +540,26 @@ class Engine:
     # ------------------------------------------------------------------
     def check_safety(self, images: np.ndarray) -> np.ndarray:
         """(B,H,W,3) [0,1] frames -> bool flags; black out in the caller (cf.
-        reference ``flax_stable_diffusion_pipeline.py:420-441``)."""
+        reference ``flax_stable_diffusion_pipeline.py:420-441``).
+
+        The dispatch is batch-sharded over the mesh ``data`` axis like the
+        denoise program (the reference pmaps its checker,
+        ``flax_stable_diffusion_pipeline.py:930-932``); the batch pads up to
+        the data-parallel size so the shards stay even."""
         checker = self.models.safety_checker()
         if checker is None:
             return np.zeros(images.shape[0], bool)
         pix = preprocess_for_safety(jnp.asarray(images),
                                     self.models.safety_config.vision.image_size)
         if self._safety_fn is None:
-            self._safety_fn = jax.jit(checker.apply)
+            self._safety_fn = jax.jit(
+                checker.apply,
+                in_shardings=(self._param_shardings["safety_checker"],
+                              batch_sharding(self.mesh)),
+                out_shardings=batch_sharding(self.mesh))
+        n = pix.shape[0]
+        m = pad_to_multiple(n, data_parallel_size(self.mesh))
+        if m != n:
+            pix = jnp.pad(pix, ((0, m - n), (0, 0), (0, 0), (0, 0)))
         flags = self._safety_fn(self._params["safety_checker"], pix)
-        return np.asarray(flags)
+        return np.asarray(flags)[:n]

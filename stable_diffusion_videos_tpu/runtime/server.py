@@ -73,6 +73,12 @@ class JobManager:
 
 
 class Server:
+    #: request-parameter ceilings — an unauthenticated caller must not be
+    #: able to pin the accelerator with count=10^6 or steps=10^5
+    MAX_COUNT = 64
+    MAX_STEPS = 200
+    MAX_SIDE = 2048
+
     def __init__(self, pipeline, max_batch: int = 16,
                  batch_delay_ms: float = 25.0):
         from .batcher import DynamicBatcher
@@ -84,6 +90,16 @@ class Server:
         self.batcher = DynamicBatcher(pipeline, max_batch=max_batch,
                                       max_delay_ms=batch_delay_ms)
         self._httpd = None
+
+    def _steps(self, body: dict) -> int:
+        return max(1, min(int(body.get("num_inference_steps", 50)),
+                          self.MAX_STEPS))
+
+    def _side(self, body: dict, key: str):
+        v = body.get(key)
+        if v is None:
+            return None
+        return max(64, min(int(v), self.MAX_SIDE))
 
     # ------------------------------------------------------------------
     def _handle_health(self):
@@ -102,8 +118,13 @@ class Server:
         if not prompts or prompts[0] is None:
             raise ValueError("missing 'prompt' or 'prompts'")
         count = int(body.get("count", 1))
+        if count > self.MAX_COUNT:
+            raise ValueError(f"count {count} > limit {self.MAX_COUNT}")
         if count > 1 and len(prompts) == 1:
             prompts = prompts * count
+        if len(prompts) > self.MAX_COUNT:
+            raise ValueError(f"{len(prompts)} prompts > limit "
+                             f"{self.MAX_COUNT}")
         seed = int(body.get("seed", 0))
         seeds = body.get("seeds") or [seed + i for i in range(len(prompts))]
         if len(seeds) != len(prompts):
@@ -112,10 +133,11 @@ class Server:
         pipe = self.pipeline
         futures = [self.batcher.submit(
             prompt, seed,
-            num_inference_steps=int(body.get("num_inference_steps", 50)),
+            num_inference_steps=self._steps(body),
             guidance_scale=float(body.get("guidance_scale", 7.5)),
             eta=float(body.get("eta", 0.0)),
-            height=body.get("height"), width=body.get("width"),
+            height=self._side(body, "height"),
+            width=self._side(body, "width"),
             negative_prompt=body.get("negative_prompt"))
             for prompt, seed in zip(prompts, seeds)]
         images = np.stack([f.result(timeout=600) for f in futures])
@@ -137,7 +159,7 @@ class Server:
             pils = self.pipeline.img2img(
                 img, body["prompt"],
                 strength=float(body.get("strength", 0.75)),
-                num_inference_steps=int(body.get("num_inference_steps", 50)),
+                num_inference_steps=self._steps(body),
                 guidance_scale=float(body.get("guidance_scale", 7.5)),
                 negative_prompt=body.get("negative_prompt"),
                 seed=int(body.get("seed", 0)))
@@ -156,7 +178,7 @@ class Server:
         with self.dispatch_lock:
             pils = self.pipeline.inpaint(
                 img, mask, body["prompt"],
-                num_inference_steps=int(body.get("num_inference_steps", 50)),
+                num_inference_steps=self._steps(body),
                 guidance_scale=float(body.get("guidance_scale", 7.5)),
                 negative_prompt=body.get("negative_prompt"),
                 seed=int(body.get("seed", 0)))
@@ -232,7 +254,7 @@ class Server:
         logger.info("serving on %s:%d", host, self._httpd.server_port)
         return host, self._httpd.server_port
 
-    def serve_forever(self, host: str = "0.0.0.0", port: int = 8000):
+    def serve_forever(self, host: str = "127.0.0.1", port: int = 8000):
         self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
         logger.info("serving on %s:%d", host, port)
         self._httpd.serve_forever()

@@ -1,9 +1,12 @@
-"""Frame-parity metrics: PSNR + SSIM (numpy, no model weights needed).
+"""Frame-parity metrics: PSNR + SSIM (numpy) + LPIPS (Flax, see lpips.py).
 
-BASELINE.md gates parity on LPIPS, but LPIPS needs pretrained AlexNet/VGG
-features (no network egress here); SSIM/PSNR are the self-contained proxies.
-``compare_frame_dirs`` scores two directories of generated frames (e.g. this
-framework vs the reference pipeline run elsewhere) frame by frame.
+BASELINE.md gates parity on LPIPS; ``utils/lpips.py`` owns the AlexNet/VGG
+feature-distance architecture + torch-checkpoint converter (pretrained
+weights cannot be fetched here — no egress — so until a checkpoint is
+supplied via ``--lpips-weights``/``SDV_LPIPS_WEIGHTS``, SSIM >= 0.92 is the
+documented stand-in threshold).  ``compare_frame_dirs`` scores two
+directories of generated frames (e.g. this framework vs the reference
+pipeline run elsewhere) frame by frame.
 """
 
 from __future__ import annotations
@@ -50,15 +53,29 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0,
     return float(np.mean(vals))
 
 
-def compare_frame_dirs(dir_a, dir_b, glob: str = "**/frame*.png") -> dict:
-    """Match frames by filename; returns per-metric mean/min + worst frame."""
+def compare_frame_dirs(dir_a, dir_b, glob: str = "**/frame*.png",
+                       lpips_weights: str | None = None,
+                       lpips_net: str = "alex") -> dict:
+    """Match frames by filename; returns per-metric mean/min + worst frame.
+
+    ``lpips_weights`` (or env ``SDV_LPIPS_WEIGHTS``): path to a torch
+    .pth/.npz of AlexNet/VGG + lin-head weights — enables the BASELINE.md
+    LPIPS parity gate (lower = closer; <0.1 is the customary "same image
+    modulo fp noise" bound)."""
+    import os
+
     from PIL import Image
+    lpips_weights = lpips_weights or os.environ.get("SDV_LPIPS_WEIGHTS")
+    lpips_params = None
+    if lpips_weights:
+        from .lpips import load_lpips_weights
+        lpips_params = load_lpips_weights(lpips_weights, net=lpips_net)
     a_frames = {p.name: p for p in Path(dir_a).glob(glob)}
     b_frames = {p.name: p for p in Path(dir_b).glob(glob)}
     common = sorted(a_frames.keys() & b_frames.keys())
     if not common:
         raise ValueError("no common frame filenames between the two dirs")
-    psnrs, ssims = [], []
+    psnrs, ssims, lpipss = [], [], []
     for name in common:
         ia = np.asarray(Image.open(a_frames[name]).convert("RGB"))
         ib = np.asarray(Image.open(b_frames[name]).convert("RGB"))
@@ -66,8 +83,12 @@ def compare_frame_dirs(dir_a, dir_b, glob: str = "**/frame*.png") -> dict:
             raise ValueError(f"{name}: shape {ia.shape} vs {ib.shape}")
         psnrs.append(psnr(ia, ib))
         ssims.append(ssim(ia, ib))
+        if lpips_params is not None:
+            from .lpips import lpips_distance
+            lpipss.append(float(lpips_distance(ia, ib, lpips_params,
+                                               net=lpips_net)[0]))
     worst = int(np.argmin(ssims))
-    return {
+    out = {
         "frames": len(common),
         "psnr_mean": round(float(np.mean(psnrs)), 3),
         "psnr_min": round(float(np.min(psnrs)), 3),
@@ -77,3 +98,8 @@ def compare_frame_dirs(dir_a, dir_b, glob: str = "**/frame*.png") -> dict:
         "missing_in_a": sorted(b_frames.keys() - a_frames.keys())[:5],
         "missing_in_b": sorted(a_frames.keys() - b_frames.keys())[:5],
     }
+    if lpipss:
+        out["lpips_mean"] = round(float(np.mean(lpipss)), 5)
+        out["lpips_max"] = round(float(np.max(lpipss)), 5)
+        out["lpips_net"] = lpips_net
+    return out

@@ -96,3 +96,27 @@ def test_spatial_shard_matches_dp():
     assert eng_sp.spatial_shard
     sp = eng_sp.denoise_frames(cond, uncond, noise, num_inference_steps=2)
     np.testing.assert_allclose(dp, sp, atol=3e-4, rtol=2e-3)
+
+
+def test_safety_checker_sharded_dispatch():
+    """check_safety must jit with batch sharding over the data axis (the
+    reference pmaps its checker, flax_stable_diffusion_pipeline.py:930-932);
+    uneven batches pad to the data-parallel size and strip back."""
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.models.safety import preprocess_for_safety
+    from stable_diffusion_videos_tpu.parallel.mesh import batch_sharding
+    from stable_diffusion_videos_tpu.runtime import Engine
+
+    models = SDModels.tiny(with_safety=True)
+    eng = Engine(models, mesh=make_mesh())
+    imgs = np.random.default_rng(0).uniform(size=(5, 16, 16, 3)) \
+        .astype(np.float32)  # 5 is uneven vs the 8-device data axis
+    flags = eng.check_safety(imgs)
+    assert flags.shape == (5,) and flags.dtype == np.bool_
+
+    # the compiled dispatch itself is batch-sharded end to end
+    size = models.safety_config.vision.image_size
+    pix = preprocess_for_safety(jnp.asarray(np.zeros((8, 16, 16, 3),
+                                                     np.float32)), size)
+    out = eng._safety_fn(eng._params["safety_checker"], pix)
+    assert out.sharding.is_equivalent_to(batch_sharding(eng.mesh), out.ndim)

@@ -176,3 +176,41 @@ def test_clip_vision_parity_vs_transformers():
     got = CLIPVisionEncoder(cfg).apply({"params": vis_params},
                                        jnp.asarray(pix))
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=3e-4)
+
+
+def test_resolve_checkpoint_hub_id(monkeypatch, tmp_path):
+    """Hub-id loading path (reference from_pretrained('CompVis/...'),
+    stable_diffusion_pipeline.py:856-858) behind a network guard."""
+    import huggingface_hub
+
+    calls = {}
+
+    def fake_snapshot_download(repo_id, revision=None, cache_dir=None,
+                               allow_patterns=None):
+        calls["repo_id"] = repo_id
+        calls["allow_patterns"] = allow_patterns
+        return str(tmp_path)
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download",
+                        fake_snapshot_download)
+    got = W.resolve_checkpoint("CompVis/stable-diffusion-v1-4")
+    assert str(got) == str(tmp_path)
+    assert calls["repo_id"] == "CompVis/stable-diffusion-v1-4"
+    assert "*.safetensors" in calls["allow_patterns"]
+
+
+def test_resolve_checkpoint_offline_error(monkeypatch):
+    import huggingface_hub
+
+    def boom(*a, **k):
+        raise ConnectionError("no egress")
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", boom)
+    with pytest.raises(FileNotFoundError, match="offline or repo missing"):
+        W.resolve_checkpoint("CompVis/stable-diffusion-v1-4")
+
+
+def test_resolve_checkpoint_local_and_bogus(tmp_path):
+    assert W.resolve_checkpoint(str(tmp_path)) == tmp_path
+    with pytest.raises(FileNotFoundError, match="neither a local"):
+        W.resolve_checkpoint("/no/such/dir/anywhere")
