@@ -30,11 +30,21 @@ class CLIPTextConfig:
     num_heads: int = flax.struct.field(pytree_node=False, default=12)
     max_position_embeddings: int = flax.struct.field(pytree_node=False, default=77)
     layer_norm_eps: float = flax.struct.field(pytree_node=False, default=1e-5)
+    #: "quick_gelu" (OpenAI CLIP, SD1.x) or "gelu" (OpenCLIP-H, SD2.x)
+    hidden_act: str = flax.struct.field(pytree_node=False,
+                                        default="quick_gelu")
 
     @classmethod
     def sd_v1(cls):
         """openai/clip-vit-large-patch14 text tower (SD v1.x)."""
         return cls()
+
+    @classmethod
+    def sd_v2(cls):
+        """OpenCLIP ViT-H text tower as shipped with SD v2.x checkpoints
+        (23 transformer layers = penultimate-layer output, plain gelu)."""
+        return cls(hidden_size=1024, intermediate_size=4096, num_layers=23,
+                   num_heads=16, hidden_act="gelu")
 
     @classmethod
     def tiny(cls):
@@ -69,7 +79,8 @@ class CLIPEncoderLayer(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layer_norm2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
-        h = quick_gelu(h)
+        h = (quick_gelu(h) if cfg.hidden_act == "quick_gelu"
+             else nn.gelu(h, approximate=False))
         h = nn.Dense(d, dtype=self.dtype, name="fc2")(h)
         return x + h
 

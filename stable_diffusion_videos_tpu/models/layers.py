@@ -133,6 +133,18 @@ class Downsample2D(nn.Module):
                        dtype=self.dtype, name="conv")(x)
 
 
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Pixel-replication 2x upsample via broadcast-reshape.
+
+    Numerically identical to ``jax.image.resize(..., method="nearest")`` but
+    25-50x faster on TPU (measured, tools/profile2_r02.json "upsample"):
+    the resize lowers to a gather, this to a free layout broadcast that XLA
+    fuses into the following conv."""
+    b, h, w, c = x.shape
+    return jnp.broadcast_to(x[:, :, None, :, None, :],
+                            (b, h, 2, w, 2, c)).reshape(b, 2 * h, 2 * w, c)
+
+
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
@@ -140,8 +152,7 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = upsample_nearest_2x(x)
         return nn.Conv(self.out_channels, (3, 3),
                        padding=conv_padding(self.tiled), dtype=self.dtype,
                        name="conv")(x)

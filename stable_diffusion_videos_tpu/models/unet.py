@@ -13,7 +13,7 @@ variants share every code path with the full 860M model.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Tuple, Union
 
 import flax.linen as nn
 import flax.struct
@@ -34,7 +34,11 @@ class UNetConfig:
         pytree_node=False, default=(320, 640, 1280, 1280))
     layers_per_block: int = flax.struct.field(pytree_node=False, default=2)
     cross_attention_dim: int = flax.struct.field(pytree_node=False, default=768)
-    attention_head_dim: int = flax.struct.field(pytree_node=False, default=8)
+    #: int (all levels) or per-level tuple.  diffusers naming quirk: this
+    #: field holds the NUMBER OF HEADS (SD1.x: 8 everywhere; SD2.x:
+    #: (5,10,20,20) = 64 channels per head at every level)
+    attention_head_dim: Union[int, Tuple[int, ...]] = flax.struct.field(
+        pytree_node=False, default=8)
     # which resolution levels carry cross-attention transformers
     # (SD1.x: all but the deepest)
     attn_levels: Tuple[bool, ...] = flax.struct.field(
@@ -43,10 +47,23 @@ class UNetConfig:
     flip_sin_to_cos: bool = flax.struct.field(pytree_node=False, default=True)
     freq_shift: float = flax.struct.field(pytree_node=False, default=0.0)
 
+    def heads(self, level: int) -> int:
+        h = self.attention_head_dim
+        return h if isinstance(h, int) else h[level]
+
     @classmethod
     def sd_v1(cls):
         """SD v1.1-v1.5 geometry (CompVis/stable-diffusion-v1-4 et al.)."""
         return cls()
+
+    @classmethod
+    def sd_v2(cls, sample_size: int = 64):
+        """SD v2.x geometry (stabilityai/stable-diffusion-2-1-base et al.):
+        OpenCLIP-H context (1024) and 64-channel heads per level.  Pass
+        ``sample_size=96`` for the 768-v checkpoints (v_prediction comes
+        from the scheduler config)."""
+        return cls(sample_size=sample_size, cross_attention_dim=1024,
+                   attention_head_dim=(5, 10, 20, 20))
 
     @classmethod
     def tiny(cls):
@@ -71,7 +88,6 @@ class UNet2DCondition(nn.Module):
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
         n_levels = len(cfg.block_out_channels)
-        heads = cfg.attention_head_dim  # SD quirk: this field IS num_heads
 
         # time embedding
         t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0],
@@ -94,6 +110,7 @@ class UNet2DCondition(nn.Module):
                 x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
                                   name=f"down_{level}_res_{j}")(x, temb)
                 if cfg.attn_levels[level]:
+                    heads = cfg.heads(level)
                     x = SpatialTransformer(
                         heads, ch // heads, depth=cfg.transformer_depth,
                         dtype=self.dtype,
@@ -106,9 +123,10 @@ class UNet2DCondition(nn.Module):
 
         # ---- mid ----
         mid_ch = cfg.block_out_channels[-1]
+        mid_heads = cfg.heads(n_levels - 1)
         x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
                           name="mid_res_0")(x, temb)
-        x = SpatialTransformer(heads, mid_ch // heads,
+        x = SpatialTransformer(mid_heads, mid_ch // mid_heads,
                                depth=cfg.transformer_depth, dtype=self.dtype,
                                name="mid_attn")(x, ctx)
         x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
@@ -124,6 +142,7 @@ class UNet2DCondition(nn.Module):
                 x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
                                   name=f"up_{level}_res_{j}")(x, temb)
                 if cfg.attn_levels[level]:
+                    heads = cfg.heads(level)
                     x = SpatialTransformer(
                         heads, ch // heads, depth=cfg.transformer_depth,
                         dtype=self.dtype, name=f"up_{level}_attn_{j}")(x, ctx)

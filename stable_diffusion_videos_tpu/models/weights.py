@@ -364,7 +364,7 @@ def _unet_config_from_json(cfg: dict):
                                          (320, 640, 1280, 1280))),
         layers_per_block=cfg.get("layers_per_block", 2),
         cross_attention_dim=cfg.get("cross_attention_dim", 768),
-        attention_head_dim=head if isinstance(head, int) else head[0],
+        attention_head_dim=head if isinstance(head, int) else tuple(head),
         attn_levels=tuple(t == "CrossAttnDownBlock2D" for t in down),
         flip_sin_to_cos=cfg.get("flip_sin_to_cos", True),
         freq_shift=cfg.get("freq_shift", 0),
@@ -393,6 +393,7 @@ def _text_config_from_json(cfg: dict):
         num_layers=cfg.get("num_hidden_layers", 12),
         num_heads=cfg.get("num_attention_heads", 12),
         max_position_embeddings=cfg.get("max_position_embeddings", 77),
+        hidden_act=cfg.get("hidden_act", "quick_gelu"),
     )
 
 

@@ -214,3 +214,66 @@ def test_resolve_checkpoint_local_and_bogus(tmp_path):
     assert W.resolve_checkpoint(str(tmp_path)) == tmp_path
     with pytest.raises(FileNotFoundError, match="neither a local"):
         W.resolve_checkpoint("/no/such/dir/anywhere")
+
+
+def test_clip_text_gelu_parity_vs_transformers():
+    """SD2.x text tower (OpenCLIP-H style: plain gelu) numerically validated
+    against transformers with hidden_act='gelu'."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="gelu")
+    torch.manual_seed(1)
+    hf_model = transformers.CLIPTextModel(hf_cfg).eval()
+
+    ids = np.array([[1, 5, 9, 3, 98] + [0] * 72], np.int32)
+    with torch.no_grad():
+        want = hf_model(torch.tensor(ids, dtype=torch.long)
+                        ).last_hidden_state.numpy()
+
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32,
+                         intermediate_size=64, num_layers=2, num_heads=2,
+                         hidden_act="gelu")
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    params = W._to_jnp(W.convert_text_encoder(sd, cfg))
+    got, _ = CLIPTextEncoder(cfg).apply(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-4)
+
+
+def test_unet_config_from_json_sd21():
+    """SD2.x config parses with per-level head counts preserved."""
+    cfg = W._unet_config_from_json({
+        "sample_size": 96, "block_out_channels": [320, 640, 1280, 1280],
+        "cross_attention_dim": 1024, "attention_head_dim": [5, 10, 20, 20],
+        "down_block_types": ["CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+                             "CrossAttnDownBlock2D", "DownBlock2D"],
+    })
+    assert cfg.attention_head_dim == (5, 10, 20, 20)
+    assert cfg.heads(0) == 5 and cfg.heads(3) == 20
+    assert cfg.cross_attention_dim == 1024
+
+
+def test_unet_sd2_style_roundtrip():
+    """Tiny UNet with PER-LEVEL heads (the SD2.x shape) converts and
+    round-trips through the diffusers naming."""
+    import jax
+
+    cfg = UNetConfig(sample_size=8, block_out_channels=(32, 64),
+                     layers_per_block=1, cross_attention_dim=16,
+                     attention_head_dim=(2, 4), attn_levels=(True, True))
+    unet = UNet2DCondition(cfg)
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.zeros((1,)), jnp.zeros((1, 7, 16)))
+    out = unet.apply(params, jnp.ones((2, 8, 8, 4)),
+                     jnp.array([1.0, 2.0]), jnp.ones((2, 7, 16)))
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    sd = W.export_unet(params, cfg)
+    back = W._to_jnp(W.convert_unet({k: np.asarray(v) for k, v in sd.items()},
+                                    cfg))
+    out2 = unet.apply(back, jnp.ones((2, 8, 8, 4)),
+                      jnp.array([1.0, 2.0]), jnp.ones((2, 7, 16)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
