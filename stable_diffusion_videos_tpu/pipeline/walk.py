@@ -60,6 +60,11 @@ class StableDiffusionWalkPipeline:
         self.safety = safety
         self.upsampler = None
         self.timer = StageTimer()
+        #: optional callable(dict) — receives {clip, clips_total,
+        #: frames_done, frames_total} as walk() progresses (the server's
+        #: /jobs/<id> streams it)
+        self.on_progress = None
+        self._progress = None
 
     # ------------------------------------------------------------------
     # constructors
@@ -210,6 +215,7 @@ class StableDiffusionWalkPipeline:
                     if frame_sink is not None:
                         frame_sink.add_frame(np.asarray(pil))
             self.timer.add_frames(valid)
+            self._advance_progress(valid)
 
         for batch_idx, (embeds, noise) in enumerate(batch_gen):
             prefix = f"[{step[0]}/{step[1]}]" if step else ""
@@ -233,6 +239,12 @@ class StableDiffusionWalkPipeline:
             for f in save_futures:
                 f.result()  # surface any save error; ensure files complete
         save_pool.shutdown(wait=True)
+
+    def _advance_progress(self, frames: int):
+        if self._progress is not None:
+            self._progress["frames_done"] += int(frames)
+            if self.on_progress is not None:
+                self.on_progress(dict(self._progress))
 
     # ------------------------------------------------------------------
     # the product: walk()
@@ -337,8 +349,12 @@ class StableDiffusionWalkPipeline:
         audio_start_sec = audio_start_sec or 0.0
         clip_pairs = list(zip(prompts, prompts[1:], seeds, seeds[1:],
                               num_interpolation_steps))
+        self._progress = {"clip": 0, "clips_total": len(clip_pairs),
+                          "frames_done": 0,
+                          "frames_total": int(sum(num_interpolation_steps))}
         for i, (prompt_a, prompt_b, seed_a, seed_b, num_step) in enumerate(
                 clip_pairs):
+            self._progress["clip"] = i
             clip_name = f"{name}_{i:06d}"
             clip_dir = save_path_root / clip_name
             clip_mp4 = clip_dir / f"{clip_name}.mp4"
@@ -355,6 +371,7 @@ class StableDiffusionWalkPipeline:
                         clip_mp4 = vids[0]
                 if clip_mp4.exists():
                     logger.info("skipping completed clip %s", clip_name)
+                    self._advance_progress(num_step)
                     continue
                 if clip_dir.exists():
                     existing = sorted(clip_dir.glob(f"frame*{image_file_ext}"))
@@ -362,6 +379,7 @@ class StableDiffusionWalkPipeline:
                         skip = int(existing[-1].stem.lstrip("frame")) + 1
                         logger.info("resuming clip %s from frame %d",
                                     clip_name, skip)
+                        self._advance_progress(min(skip, num_step))
                 # NOTE: reference uses `skip + 1 >= num_step` here, silently
                 # dropping regeneration of the final frame
                 # (stable_diffusion_pipeline.py:750); we regenerate until all

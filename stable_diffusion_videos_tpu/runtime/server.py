@@ -12,7 +12,8 @@ Endpoints:
            guidance_scale?, height?, width?, count?}
 * ``POST /walk``              -> {job_id}   (async; body = walk() kwargs)
 * ``GET  /jobs/<id>``         -> {status: queued|running|done|error,
-                                  result?, error?, perf?}
+                                  progress?: {clip, clips_total, frames_done,
+                                  frames_total}, result?, error?, perf?}
 
 Start: ``python -m stable_diffusion_videos_tpu serve --checkpoint ...`` or
 ``Server(pipeline).serve_forever(port=8000)``.
@@ -58,6 +59,11 @@ class JobManager:
 
         threading.Thread(target=run, daemon=True).start()
         return job_id
+
+    def update(self, job_id: str, **fields):
+        with self._lock:
+            if job_id in self._jobs:
+                self._jobs[job_id].update(fields)
 
     def get(self, job_id: str) -> dict | None:
         with self._lock:
@@ -188,12 +194,23 @@ class Server:
                 "format": "png;base64"}
 
     def _handle_walk(self, body: dict):
+        holder: dict = {}
+
         def run():
+            def hook(p):
+                if "id" in holder:
+                    self.jobs.update(holder["id"], progress=p)
             with self.dispatch_lock:
-                result = self.pipeline.walk(**body)
+                self.pipeline.on_progress = hook
+                try:
+                    result = self.pipeline.walk(**body)
+                finally:
+                    self.pipeline.on_progress = None
             return {"video": result,
                     "perf": self.pipeline.timer.summary()}
-        return {"job_id": self.jobs.submit(run)}
+
+        holder["id"] = self.jobs.submit(run)
+        return {"job_id": holder["id"]}
 
     # ------------------------------------------------------------------
     def make_handler(server_self):

@@ -95,6 +95,10 @@ def test_walk_job(served, tmp_path):
     assert job["status"] == "done", job
     assert job["result"]["video"].endswith(".mp4")
     assert job["result"]["perf"]["frames"] >= 2
+    # progress streamed into the job while it ran (final state: complete)
+    assert job["progress"]["frames_done"] == job["progress"]["frames_total"] \
+        == 2
+    assert job["progress"]["clips_total"] == 1
 
 
 def test_walk_job_error_surfaced(served):
