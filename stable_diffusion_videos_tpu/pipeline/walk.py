@@ -144,21 +144,27 @@ class StableDiffusionWalkPipeline:
     # frame generation
     # ------------------------------------------------------------------
     def _postprocess(self, images: np.ndarray) -> List[Image.Image]:
-        """float [0,1] (B,H,W,3) -> PIL, with safety blackout + upsampling."""
+        """float [0,1] or uint8 (B,H,W,3) -> PIL, with safety blackout +
+        upsampling.  The engine quantises walk frames to uint8 ON DEVICE
+        (4x less device->host transfer); float inputs are quantised here."""
+        if images.dtype != np.uint8:
+            images = (np.clip(images, 0.0, 1.0) * 255).round()                 .astype(np.uint8)
         if self.safety:
-            flags = self.engine.check_safety(images)
+            flags = self.engine.check_safety(
+                images.astype(np.float32) / 255.0)
             if flags.any():
                 logger.warning("safety checker flagged %d frame(s); "
                                "blacking out", int(flags.sum()))
-                images = np.where(flags[:, None, None, None], 0.0, images)
+                images = np.where(flags[:, None, None, None],
+                                  np.uint8(0), images)
         if self.upsampler is not None:
             with self.timer.stage("upsample"):
                 # one batched jitted dispatch for the whole frame batch
                 # (the reference upsamples frame-by-frame through PIL/cv2,
                 # upsampling.py:42-55)
-                images = self.upsampler(np.asarray(images, np.float32))
-        return [Image.fromarray((np.clip(f, 0, 1) * 255).round()
-                                .astype(np.uint8)) for f in images]
+                out = self.upsampler(images.astype(np.float32) / 255.0)
+                images = (np.clip(out, 0.0, 1.0) * 255).round()                     .astype(np.uint8)
+        return [Image.fromarray(f) for f in images]
 
     def make_clip_frames(self, prompt_a: str, prompt_b: str, seed_a: int,
                          seed_b: int, num_interpolation_steps: int = 5,
@@ -227,7 +233,8 @@ class StableDiffusionWalkPipeline:
                     embeds, uncond, noise,
                     num_inference_steps=num_inference_steps,
                     guidance_scale=guidance_scale, eta=eta,
-                    key=jax.random.PRNGKey(int(seed_a) * 7919 + batch_idx))
+                    key=jax.random.PRNGKey(int(seed_a) * 7919 + batch_idx),
+                    output_dtype="uint8")
             # overlap: save the previous batch while this one computes
             if pending is not None:
                 drain(pending)

@@ -125,7 +125,8 @@ class Engine:
                     **kwargs))
             return self._tables_cache[key]
 
-    def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int):
+    def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int,
+               out_u8: bool = False):
         sched = self.sched
         unet = self.models.unet()
         vae = self.models.vae()
@@ -153,7 +154,14 @@ class Engine:
         def decode(params, lat):
             imgs = vae.apply(params["vae"], lat / scale,
                              method=AutoencoderKL.decode)
-            return jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            imgs = jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            if out_u8:
+                # quantise ON DEVICE: frames leave the chip as 8-bit (what
+                # PNG/video need anyway) — 4x less device->host traffic,
+                # which measured as the walk bottleneck through the axon
+                # tunnel (tools/demo_walk_r02.json: transfer > denoise)
+                imgs = jnp.round(imgs * 255.0).astype(jnp.uint8)
+            return imgs
 
         tiled_vae = self.vae_tile is not None
 
@@ -198,8 +206,9 @@ class Engine:
             out_shardings=bs,
         )
 
-    def _get_compiled(self, batch, h, w, steps, ctx_len):
-        key = (batch, h, w, steps, ctx_len)
+    def _get_compiled(self, batch, h, w, steps, ctx_len,
+                      out_u8: bool = False):
+        key = (batch, h, w, steps, ctx_len, out_u8)
         with self._cache_lock:
             if key not in self._compiled:
                 logger.info("compiling denoise program %s", key)
@@ -212,12 +221,14 @@ class Engine:
     def denoise_frames_async(self, cond, uncond, noise, *,
                              num_inference_steps: int = 50,
                              guidance_scale: float = 7.5, eta: float = 0.0,
-                             key: Optional[jax.Array] = None):
+                             key: Optional[jax.Array] = None,
+                             output_dtype: str = "float32"):
         """Launch one sharded dispatch; returns (device_array, valid_batch).
 
         cond/uncond: (B, S, D) text embeddings; noise: (B, h, w, 4).
         The batch is padded to the bucket size; callers slice ``[:valid]``
-        after transfer.
+        after transfer.  ``output_dtype="uint8"`` quantises frames on device
+        (4x less transfer; ignored for tiled decode, which stays float).
         """
         B = noise.shape[0]
         Bp = pad_to_multiple(max(B, self.batch_bucket), self.batch_bucket)
@@ -240,7 +251,9 @@ class Engine:
         noise_p = jax.device_put(noise_p, bs)
         h, w = noise.shape[1], noise.shape[2]
         tables = self._tables(num_inference_steps, eta)
-        fn = self._get_compiled(Bp, h, w, num_inference_steps, cond.shape[1])
+        out_u8 = output_dtype == "uint8" and self.vae_tile is None
+        fn = self._get_compiled(Bp, h, w, num_inference_steps, cond.shape[1],
+                                out_u8)
         if key is None:
             key = jax.random.PRNGKey(0)
         with _trace("denoise_dispatch"):
@@ -354,11 +367,15 @@ class Engine:
     # ------------------------------------------------------------------
     def _sliced_tables(self, tables: SchedTables, k0: int) -> SchedTables:
         """Drop the first ``k0`` loop steps (img2img starts mid-schedule).
-        Valid for index-aligned-table samplers (ddim/euler/dpm)."""
-        if self.scheduler_name not in ("ddim", "euler", "dpm"):
+        Valid for index-aligned-table samplers (ddim/euler/euler_ancestral/
+        dpm); pndm/lms carry warm-up history so a mid-schedule entry would
+        be wrong, not just unimplemented."""
+        if self.scheduler_name not in ("ddim", "euler", "euler_ancestral",
+                                       "dpm"):
             raise NotImplementedError(
-                f"img2img supports ddim/euler/dpm (index-aligned tables); "
-                f"{self.scheduler_name} carries warm-up history")
+                f"img2img supports ddim/euler/euler_ancestral/dpm "
+                f"(index-aligned tables); {self.scheduler_name} carries "
+                f"warm-up history")
         d = {}
         n_loop = self.sched.num_loop_steps(tables)
         for k, v in tables.items():
@@ -393,7 +410,7 @@ class Engine:
         key, knoise = jax.random.split(key)
         noise = jax.random.normal(knoise, init_latents.shape, jnp.float32)
         lat = jnp.asarray(init_latents, jnp.float32)
-        if self.scheduler_name == "euler":
+        if self.scheduler_name in ("euler", "euler_ancestral"):
             sigma0 = sliced["sigmas"][0]
             noisy = lat + sigma0 * noise
         else:
@@ -434,10 +451,11 @@ class Engine:
 
         init_latents: (B, h, w, 4) scaled VAE means; mask: (B, h, w, 1)
         float in [0, 1] at latent resolution."""
-        if self.scheduler_name not in ("ddim", "euler", "dpm"):
+        if self.scheduler_name not in ("ddim", "euler", "euler_ancestral",
+                                       "dpm"):
             raise NotImplementedError(
-                "inpaint supports ddim/euler/dpm (needs per-index noise "
-                "levels; warm-up samplers not supported)")
+                "inpaint supports ddim/euler/euler_ancestral/dpm (needs "
+                "per-index noise levels; warm-up samplers not supported)")
         tables = self._tables(num_inference_steps, eta)
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -477,7 +495,9 @@ class Engine:
         unet = self.models.unet()
         vae = self.models.vae()
         scale = self.models.vae_config.scaling_factor
-        sigma_space = self.scheduler_name in ("euler",)
+        # euler_ancestral's marginal level after step i is also sigmas[i+1]
+        # (sqrt(sigma_down^2 + sigma_up^2) == sigma_next)
+        sigma_space = self.scheduler_name in ("euler", "euler_ancestral")
 
         def noised_known(tables, init, noise0, i):
             """The known region at loop-index i's POST-step noise level."""

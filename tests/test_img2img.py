@@ -10,7 +10,7 @@ def pipelines():
     from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
     m = SDModels.tiny()
     return {name: StableDiffusionWalkPipeline(m, scheduler=name)
-            for name in ("ddim", "euler", "dpm")}
+            for name in ("ddim", "euler", "euler_ancestral", "dpm")}
 
 
 @pytest.fixture()
@@ -19,7 +19,7 @@ def image(tmp_path):
     return (rng.uniform(0, 1, (16, 16, 3)) * 255).astype(np.uint8)
 
 
-@pytest.mark.parametrize("sched", ["ddim", "euler", "dpm"])
+@pytest.mark.parametrize("sched", ["ddim", "euler", "euler_ancestral", "dpm"])
 def test_img2img_runs(pipelines, image, sched):
     out = pipelines[sched].img2img(image, "a tiny scene", strength=0.6,
                                    num_inference_steps=4, output_type="np")

@@ -219,3 +219,28 @@ def test_profiler_trace_env(tmp_path, monkeypatch):
         import jax.numpy as jnp
         jnp.zeros((4,)).block_until_ready()
     assert any(tmp_path.rglob("*")), "no trace files written"
+
+
+def test_engine_uint8_output_matches_float():
+    """On-device uint8 quantisation (4x less D2H transfer for walks) must
+    equal host-side quantisation of the float output."""
+    import jax.numpy as jnp
+
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.runtime import Engine
+
+    eng = Engine(SDModels.tiny(), scheduler="ddim")
+    cond = eng.embed_text(["u8 test"])
+    uncond = eng.embed_text("")
+    noise = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 8, 8, 4), np.float32))
+    f = eng.denoise_frames(cond, uncond, noise, num_inference_steps=2)
+    fut, valid = eng.denoise_frames_async(cond, uncond, noise,
+                                          num_inference_steps=2,
+                                          output_dtype="uint8")
+    u = np.asarray(fut)[:valid]
+    assert u.dtype == np.uint8
+    want = np.round(np.clip(f, 0, 1) * 255).astype(np.int32)
+    # fp reassociation inside the fused program can flip the rounding of
+    # exact .5 boundaries; allow off-by-one
+    assert np.abs(u.astype(np.int32) - want).max() <= 1
