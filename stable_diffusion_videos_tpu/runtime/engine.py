@@ -342,9 +342,11 @@ class Engine:
 
     def warmup(self, *, num_inference_steps: int = 50,
                height: Optional[int] = None, width: Optional[int] = None,
-               batches=(None,)) -> float:
+               batches=(None,), output_dtype: str = "float32") -> float:
         """Precompile the denoise program(s) for the given shapes (serving
-        cold-start elimination).  Returns seconds spent compiling."""
+        cold-start elimination).  Returns seconds spent compiling.  Pass
+        ``output_dtype="uint8"`` to prewarm the walk path's quantised
+        program instead of the float one."""
         import time as _time
         height = height or self.models.default_size
         width = width or self.models.default_size
@@ -358,7 +360,8 @@ class Engine:
             noise = jnp.zeros((b, height // f, width // f, c))
             imgs, _ = self.denoise_frames_async(
                 cond, cond[:1], noise,
-                num_inference_steps=num_inference_steps)
+                num_inference_steps=num_inference_steps,
+                output_dtype=output_dtype)
             jax.block_until_ready(imgs)
         return _time.perf_counter() - t0
 

@@ -45,3 +45,26 @@ def test_finetune_convenience(trainer):
     losses = trainer.finetune(imgs, ["a", "b", "c", "d"], num_steps=3,
                               log_every=0)
     assert len(losses) == 3 and all(np.isfinite(losses))
+
+
+def test_remat_matches_plain_gradients():
+    """jax.checkpoint rematerialisation must not change the training math:
+    same seed + same data => same loss sequence as the plain step."""
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.training import TrainConfig, UNetTrainer
+
+    models = SDModels.tiny()
+    lat = np.random.default_rng(0).standard_normal((8, 8, 8, 4)) \
+        .astype(np.float32)
+    ctx = np.random.default_rng(1).standard_normal((8, 7, 32)) \
+        .astype(np.float32)
+
+    import jax
+    losses = {}
+    for remat in (False, True):
+        tr = UNetTrainer(SDModels.tiny(),
+                         config=TrainConfig(learning_rate=1e-3, remat=remat))
+        seq = [tr.step(lat, ctx, key=jax.random.PRNGKey(5)) for _ in range(2)]
+        losses[remat] = seq
+    np.testing.assert_allclose(losses[False], losses[True],
+                               rtol=1e-5, atol=1e-6)

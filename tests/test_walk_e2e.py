@@ -202,3 +202,50 @@ def test_call_return_dict(pipeline):
     assert set(out) == {"images", "nsfw_content_detected"}
     assert len(out["images"]) == 1
     assert out["nsfw_content_detected"] == [False]
+
+
+def test_walk_sd2_flavored_bundle(run_dir):
+    """End-to-end walk through an SD2.x-shaped tiny bundle: per-level head
+    counts, 'gelu' text tower, v_prediction schedule — the whole product
+    path, not just unit level."""
+    import jax
+    import jax.numpy as jnp
+
+    from stable_diffusion_videos_tpu.core.schedulers import SchedulerConfig
+    from stable_diffusion_videos_tpu.models import (CLIPTextConfig,
+                                                    HashTokenizer)
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.models.clip_text import CLIPTextEncoder
+    from stable_diffusion_videos_tpu.models.unet import (UNet2DCondition,
+                                                         UNetConfig)
+    from stable_diffusion_videos_tpu.models.vae import (AutoencoderKL,
+                                                        VAEConfig)
+    from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
+
+    ucfg = UNetConfig(sample_size=8, block_out_channels=(32, 64),
+                      layers_per_block=1, cross_attention_dim=32,
+                      attention_head_dim=(2, 4), attn_levels=(True, True))
+    vcfg = VAEConfig.tiny()
+    tcfg = CLIPTextConfig(vocab_size=1000, hidden_size=32,
+                          intermediate_size=64, num_layers=2, num_heads=2,
+                          hidden_act="gelu")
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    img = ucfg.sample_size * vcfg.scale_factor
+    params = {
+        "unet": UNet2DCondition(ucfg).init(
+            keys[0], jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 7, 32))),
+        "vae": AutoencoderKL(vcfg).init(keys[1],
+                                        jnp.zeros((1, img, img, 3))),
+        "text_encoder": CLIPTextEncoder(tcfg).init(
+            keys[2], jnp.zeros((1, 77), jnp.int32)),
+    }
+    models = SDModels(ucfg, vcfg, tcfg, params,
+                      HashTokenizer(vocab_size=tcfg.vocab_size),
+                      SchedulerConfig(prediction_type="v_prediction"))
+    pipe = StableDiffusionWalkPipeline(models, scheduler="ddim")
+    video = pipe.walk(prompts=["x", "y"], seeds=[1, 2],
+                      num_interpolation_steps=2, num_inference_steps=2,
+                      fps=2, output_dir=str(run_dir), name="sd2ish")
+    assert Path(video).exists()
+    assert _frame_count(video) == 2
