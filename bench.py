@@ -102,7 +102,10 @@ def main():
     if on_tpu:
         ucfg, vcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1()
         steps, side = 50, 512
-        batch = int(os.environ.get("SDV_BENCH_BATCH", "16"))
+        # measured batch ladder (v5e, r2): 8 -> 1.238 f/s/chip, 16 -> 1.203,
+        # 24 -> 1.181 (per-sample UNet cost is flat from B=8; smaller live
+        # set fuses slightly better)
+        batch = int(os.environ.get("SDV_BENCH_BATCH", "8"))
         dtype = jnp.bfloat16
     else:  # smoke fallback so bench always runs
         ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()

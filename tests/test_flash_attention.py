@@ -72,3 +72,23 @@ def test_flash_bf16():
                      dtype=np.float32)
     want = np.asarray(xla_attention(q, k, v), dtype=np.float32)
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_auto_backend_routing():
+    """auto routes UNet shapes to XLA and only the VAE-mid single-head
+    D=512 case to flash (measured policy, tools/profile_r02.json r2)."""
+    import importlib
+    A = importlib.import_module("stable_diffusion_videos_tpu.ops.attention")
+    assert A._resolve_backend(77, 64) == "xla"        # CLIP
+    assert A._resolve_backend(4096, 40) == "xla"      # UNet level 0
+    assert A._resolve_backend(1024, 80) == "xla"      # UNet level 1
+    assert A._resolve_backend(256, 160) == "xla"      # UNet level 2
+    # VAE mid block: flash on TPU, xla elsewhere (CPU test env -> xla)
+    import jax
+    want = "flash" if jax.default_backend() == "tpu" else "xla"
+    assert A._resolve_backend(4096, 512) == want
+    A.set_attention_backend("flash")
+    try:
+        assert A._resolve_backend(77, 64) == "flash"
+    finally:
+        A.set_attention_backend("auto")
