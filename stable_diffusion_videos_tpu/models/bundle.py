@@ -33,6 +33,10 @@ class SDModels:
     safety_config: Optional[SafetyConfig] = None
     dtype: Any = jnp.bfloat16  # compute dtype; params stay float32
     tiled: bool = False
+    #: SDXL second text tower (OpenCLIP-bigG); the two towers' hidden states
+    #: concatenate to ``unet_config.cross_attention_dim`` and tower 2's
+    #: projected pooled output feeds the text_time addition embedding
+    text_config_2: Optional[CLIPTextConfig] = None
 
     # ---- module builders (modules are stateless; params passed at call) ----
     def unet(self) -> UNet2DCondition:
@@ -45,6 +49,16 @@ class SDModels:
 
     def text_encoder(self) -> CLIPTextEncoder:
         return CLIPTextEncoder(self.text_config, dtype=self.dtype)
+
+    def text_encoder_2(self) -> Optional[CLIPTextEncoder]:
+        if self.text_config_2 is None:
+            return None
+        return CLIPTextEncoder(self.text_config_2, dtype=self.dtype)
+
+    @property
+    def is_xl(self) -> bool:
+        """SDXL-family bundle: dual text towers + text_time conditioning."""
+        return self.unet_config.addition_embed_dim is not None
 
     def safety_checker(self) -> Optional[SafetyChecker]:
         if self.safety_config is None or "safety_checker" not in self.params:
@@ -89,6 +103,50 @@ class SDModels:
         tok = HashTokenizer(vocab_size=tcfg.vocab_size)
         return cls(ucfg, vcfg, tcfg, params, tok, SchedulerConfig(),
                    safety_config=scfg, dtype=dtype, tiled=tiled)
+
+    @classmethod
+    def tiny_xl(cls, seed: int = 0, dtype=jnp.float32,
+                tiled: bool = False) -> "SDModels":
+        """Randomly initialised tiny SDXL-flavoured bundle: dual text towers
+        (16+16 = the 32-wide cross-attention context), per-level transformer
+        depth (0, 2), and text_time micro-conditioning — every SDXL code
+        path CPU-runnable."""
+        ucfg, vcfg = UNetConfig.tiny_xl(), VAEConfig.tiny()
+        tcfg = CLIPTextConfig(vocab_size=1000, hidden_size=16,
+                              intermediate_size=32, num_layers=2, num_heads=2,
+                              penultimate_hidden=True)
+        tcfg2 = CLIPTextConfig(vocab_size=1000, hidden_size=16,
+                               intermediate_size=32, num_layers=2,
+                               num_heads=2, penultimate_hidden=True,
+                               projection_dim=ucfg.addition_pooled_dim)
+        keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+        lat = jnp.zeros((1, ucfg.sample_size, ucfg.sample_size,
+                         ucfg.in_channels))
+        ctx = jnp.zeros((1, 7, ucfg.cross_attention_dim))
+        te = jnp.zeros((1, ucfg.addition_pooled_dim))
+        ti = jnp.zeros((1, 6))
+        img_size = ucfg.sample_size * vcfg.scale_factor
+        params = {
+            "unet": UNet2DCondition(ucfg).init(
+                keys[0], lat, jnp.zeros((1,)), ctx, te, ti),
+            "vae": AutoencoderKL(vcfg).init(
+                keys[1], jnp.zeros((1, img_size, img_size, 3))),
+            "text_encoder": CLIPTextEncoder(tcfg).init(
+                keys[2], jnp.zeros((1, 77), jnp.int32)),
+            "text_encoder_2": CLIPTextEncoder(tcfg2).init(
+                keys[3], jnp.zeros((1, 77), jnp.int32)),
+        }
+        tok = HashTokenizer(vocab_size=tcfg.vocab_size)
+        return cls(ucfg, vcfg, tcfg, params, tok, SchedulerConfig(),
+                   dtype=dtype, tiled=tiled, text_config_2=tcfg2)
+
+    @classmethod
+    def sd_xl_configs(cls):
+        """The full SDXL-base config tuple (unet, vae, text, text_2) — used
+        by the weight converter and by shape-only tooling."""
+        vcfg = VAEConfig.sd_v1().replace(scaling_factor=0.13025)  # sdxl-vae
+        return (UNetConfig.sd_xl(), vcfg,
+                CLIPTextConfig.sd_xl_l(), CLIPTextConfig.sd_xl_g())
 
     @classmethod
     def from_pretrained(cls, path: str, dtype=jnp.bfloat16,

@@ -13,6 +13,8 @@ features) feeds the safety checker's vision-text space.
 
 from __future__ import annotations
 
+from typing import Union
+
 import flax.linen as nn
 import flax.struct
 import jax
@@ -33,11 +35,33 @@ class CLIPTextConfig:
     #: "quick_gelu" (OpenAI CLIP, SD1.x) or "gelu" (OpenCLIP-H, SD2.x)
     hidden_act: str = flax.struct.field(pytree_node=False,
                                         default="quick_gelu")
+    #: return the PENULTIMATE layer's hidden state (pre final-LN) as the
+    #: sequence output — SDXL consumes hidden_states[-2] from both towers
+    #: (the pooled output still comes from the full tower + final LN)
+    penultimate_hidden: bool = flax.struct.field(pytree_node=False,
+                                                 default=False)
+    #: apply a bias-free text_projection to the pooled output (OpenCLIP
+    #: towers whose pooled embedding feeds SDXL's addition conditioning)
+    projection_dim: Union[int, None] = flax.struct.field(pytree_node=False,
+                                                         default=None)
 
     @classmethod
     def sd_v1(cls):
         """openai/clip-vit-large-patch14 text tower (SD v1.x)."""
         return cls()
+
+    @classmethod
+    def sd_xl_l(cls):
+        """SDXL tower 1: CLIP ViT-L, penultimate hidden states."""
+        return cls(penultimate_hidden=True)
+
+    @classmethod
+    def sd_xl_g(cls):
+        """SDXL tower 2: OpenCLIP ViT-bigG — penultimate hidden states plus
+        the projected pooled embedding that feeds text_time conditioning."""
+        return cls(hidden_size=1280, intermediate_size=5120, num_layers=32,
+                   num_heads=20, hidden_act="gelu", penultimate_hidden=True,
+                   projection_dim=1280)
 
     @classmethod
     def sd_v2(cls):
@@ -99,11 +123,17 @@ class CLIPTextEncoder(nn.Module):
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                        dtype=self.dtype, name="position_embedding")(pos_ids)
         x = tok + pos
+        penult = x
         for i in range(cfg.num_layers):
             x = CLIPEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i == cfg.num_layers - 2:
+                penult = x  # HF hidden_states[-2]: after layer L-1, pre-LN
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="final_layer_norm")(x)
         # pooled output: features at the EOS token (highest token id in CLIP)
         eos_idx = jnp.argmax(input_ids, axis=-1)
         pooled = x[jnp.arange(x.shape[0]), eos_idx]
-        return x, pooled
+        if cfg.projection_dim is not None:
+            pooled = nn.Dense(cfg.projection_dim, use_bias=False,
+                              dtype=self.dtype, name="text_projection")(pooled)
+        return (penult if cfg.penultimate_hidden else x), pooled

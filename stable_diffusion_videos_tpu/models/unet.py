@@ -43,13 +43,28 @@ class UNetConfig:
     # (SD1.x: all but the deepest)
     attn_levels: Tuple[bool, ...] = flax.struct.field(
         pytree_node=False, default=(True, True, True, False))
-    transformer_depth: int = flax.struct.field(pytree_node=False, default=1)
+    #: transformer blocks per spatial transformer: int (all levels) or a
+    #: per-level tuple (SDXL: (0, 2, 10); the mid block uses the deepest)
+    transformer_depth: Union[int, Tuple[int, ...]] = flax.struct.field(
+        pytree_node=False, default=1)
     flip_sin_to_cos: bool = flax.struct.field(pytree_node=False, default=True)
     freq_shift: float = flax.struct.field(pytree_node=False, default=0.0)
+    #: SDXL "text_time" micro-conditioning: sinusoidal dim for each of the 6
+    #: size/crop scalars (None = no addition embedding, SD1/2 behaviour)
+    addition_embed_dim: Union[int, None] = flax.struct.field(
+        pytree_node=False, default=None)
+    #: width of the pooled text embedding concatenated before the addition
+    #: MLP (SDXL: 1280 from the OpenCLIP-bigG tower)
+    addition_pooled_dim: Union[int, None] = flax.struct.field(
+        pytree_node=False, default=None)
 
     def heads(self, level: int) -> int:
         h = self.attention_head_dim
         return h if isinstance(h, int) else h[level]
+
+    def depth(self, level: int) -> int:
+        d = self.transformer_depth
+        return d if isinstance(d, int) else d[level]
 
     @classmethod
     def sd_v1(cls):
@@ -66,11 +81,37 @@ class UNetConfig:
                    attention_head_dim=(5, 10, 20, 20))
 
     @classmethod
+    def sd_xl(cls):
+        """SDXL-base geometry (stabilityai/stable-diffusion-xl-base-1.0):
+        3 levels, no attention at level 0, transformer depths (0, 2, 10),
+        64-channel heads, dual-tower context (768+1280=2048), and the
+        "text_time" addition embedding — 6 size/crop micro-conditioning
+        scalars sinusoidally embedded at 256 each + the 1280-wide pooled
+        text embedding, projected into the time embedding
+        (2816 = 1280 + 6x256)."""
+        return cls(sample_size=128, block_out_channels=(320, 640, 1280),
+                   cross_attention_dim=2048,
+                   attention_head_dim=(5, 10, 20),
+                   attn_levels=(False, True, True),
+                   transformer_depth=(0, 2, 10),
+                   addition_embed_dim=256, addition_pooled_dim=1280)
+
+    @classmethod
     def tiny(cls):
         """CPU-runnable config for tests; same code paths, ~0.5M params."""
         return cls(sample_size=8, block_out_channels=(32, 64),
                    layers_per_block=1, cross_attention_dim=32,
                    attention_head_dim=2, attn_levels=(True, False))
+
+    @classmethod
+    def tiny_xl(cls):
+        """CPU-runnable SDXL-flavoured config: exercises per-level
+        transformer depth and the text_time addition embedding."""
+        return cls(sample_size=8, block_out_channels=(32, 64),
+                   layers_per_block=1, cross_attention_dim=32,
+                   attention_head_dim=2, attn_levels=(False, True),
+                   transformer_depth=(0, 2),
+                   addition_embed_dim=8, addition_pooled_dim=16)
 
 
 class UNet2DCondition(nn.Module):
@@ -80,9 +121,15 @@ class UNet2DCondition(nn.Module):
 
     @nn.compact
     def __call__(self, sample: jax.Array, timesteps: jax.Array,
-                 encoder_hidden_states: jax.Array) -> jax.Array:
+                 encoder_hidden_states: jax.Array,
+                 text_embeds: jax.Array = None,
+                 time_ids: jax.Array = None) -> jax.Array:
         """sample: (B,H,W,C) latents; timesteps: (B,) or scalar;
-        encoder_hidden_states: (B, S, cross_attention_dim). Returns (B,H,W,C)."""
+        encoder_hidden_states: (B, S, cross_attention_dim). Returns (B,H,W,C).
+
+        SDXL micro-conditioning (``addition_embed_dim`` set): ``text_embeds``
+        is the (B, addition_pooled_dim) pooled text embedding and ``time_ids``
+        the (B, 6) original-size/crop/target-size scalars."""
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -95,6 +142,22 @@ class UNet2DCondition(nn.Module):
         temb = TimestepEmbedMLP(cfg.block_out_channels[0] * 4,
                                 dtype=self.dtype,
                                 name="time_embedding")(t_emb.astype(self.dtype))
+        if cfg.addition_embed_dim is not None:
+            # SDXL "text_time": each of the 6 conditioning scalars gets its
+            # own sinusoidal embedding; concat with the pooled text embedding
+            # and project through the same MLP shape as the time embedding
+            if text_embeds is None or time_ids is None:
+                raise ValueError("this UNet config requires text_embeds and "
+                                 "time_ids (SDXL text_time conditioning)")
+            b = sample.shape[0]
+            ids_emb = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_embed_dim,
+                cfg.flip_sin_to_cos, cfg.freq_shift).reshape(b, -1)
+            add = jnp.concatenate(
+                [text_embeds.astype(jnp.float32), ids_emb], axis=-1)
+            temb = temb + TimestepEmbedMLP(
+                cfg.block_out_channels[0] * 4, dtype=self.dtype,
+                name="add_embedding")(add.astype(self.dtype))
 
         ctx = encoder_hidden_states.astype(self.dtype)
         x = sample.astype(self.dtype)
@@ -112,7 +175,7 @@ class UNet2DCondition(nn.Module):
                 if cfg.attn_levels[level]:
                     heads = cfg.heads(level)
                     x = SpatialTransformer(
-                        heads, ch // heads, depth=cfg.transformer_depth,
+                        heads, ch // heads, depth=cfg.depth(level),
                         dtype=self.dtype,
                         name=f"down_{level}_attn_{j}")(x, ctx)
                 skips.append(x)
@@ -127,8 +190,8 @@ class UNet2DCondition(nn.Module):
         x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
                           name="mid_res_0")(x, temb)
         x = SpatialTransformer(mid_heads, mid_ch // mid_heads,
-                               depth=cfg.transformer_depth, dtype=self.dtype,
-                               name="mid_attn")(x, ctx)
+                               depth=cfg.depth(n_levels - 1),
+                               dtype=self.dtype, name="mid_attn")(x, ctx)
         x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
                           name="mid_res_1")(x, temb)
 
@@ -144,7 +207,7 @@ class UNet2DCondition(nn.Module):
                 if cfg.attn_levels[level]:
                     heads = cfg.heads(level)
                     x = SpatialTransformer(
-                        heads, ch // heads, depth=cfg.transformer_depth,
+                        heads, ch // heads, depth=cfg.depth(level),
                         dtype=self.dtype, name=f"up_{level}_attn_{j}")(x, ctx)
             if not is_last:
                 x = Upsample2D(ch, dtype=self.dtype, tiled=self.tiled,

@@ -141,7 +141,8 @@ def _transformer(sd, pfx, depth):
 
 
 def convert_unet(sd: dict, config) -> dict:
-    """diffusers UNet2DConditionModel state dict -> our UNet pytree."""
+    """diffusers UNet2DConditionModel state dict -> our UNet pytree
+    (SD 1.x/2.x and SDXL — per-level transformer depth + add_embedding)."""
     n = len(config.block_out_channels)
     p = {
         "conv_in": _conv(sd, "conv_in"),
@@ -152,6 +153,11 @@ def convert_unet(sd: dict, config) -> dict:
         "conv_norm_out": _gn32(sd, "conv_norm_out"),
         "conv_out": _conv(sd, "conv_out"),
     }
+    if config.addition_embed_dim is not None:  # SDXL text_time
+        p["add_embedding"] = {
+            "linear_1": _lin(sd, "add_embedding.linear_1"),
+            "linear_2": _lin(sd, "add_embedding.linear_2"),
+        }
     for level in range(n):
         for j in range(config.layers_per_block):
             p[f"down_{level}_res_{j}"] = _resnet(
@@ -159,13 +165,13 @@ def convert_unet(sd: dict, config) -> dict:
             if config.attn_levels[level]:
                 p[f"down_{level}_attn_{j}"] = _transformer(
                     sd, f"down_blocks.{level}.attentions.{j}",
-                    config.transformer_depth)
+                    config.depth(level))
         if level != n - 1:
             p[f"down_{level}_downsample"] = {"conv": _conv(
                 sd, f"down_blocks.{level}.downsamplers.0.conv")}
     p["mid_res_0"] = _resnet(sd, "mid_block.resnets.0")
     p["mid_attn"] = _transformer(sd, "mid_block.attentions.0",
-                                 config.transformer_depth)
+                                 config.depth(n - 1))
     p["mid_res_1"] = _resnet(sd, "mid_block.resnets.1")
     for i in range(n):  # diffusers up_blocks[0] is the deepest level
         level = n - 1 - i
@@ -175,7 +181,7 @@ def convert_unet(sd: dict, config) -> dict:
             if config.attn_levels[level]:
                 p[f"up_{level}_attn_{j}"] = _transformer(
                     sd, f"up_blocks.{i}.attentions.{j}",
-                    config.transformer_depth)
+                    config.depth(level))
         if i != n - 1:
             p[f"up_{level}_upsample"] = {"conv": _conv(
                 sd, f"up_blocks.{i}.upsamplers.0.conv")}
@@ -258,6 +264,9 @@ def convert_text_encoder(sd: dict, config) -> dict:
             "embedding": sd[f"{pre}embeddings.position_embedding.weight"]},
         "final_layer_norm": _norm(sd, f"{pre}final_layer_norm"),
     }
+    if config.projection_dim is not None:
+        # CLIPTextModelWithProjection (SDXL tower 2)
+        p["text_projection"] = _lin(sd, "text_projection", bias=False)
     for i in range(config.num_layers):
         b = f"{pre}encoder.layers.{i}"
         p[f"layers_{i}"] = {
@@ -356,6 +365,13 @@ def _unet_config_from_json(cfg: dict):
     down = cfg.get("down_block_types",
                    ["CrossAttnDownBlock2D"] * 3 + ["DownBlock2D"])
     head = cfg.get("attention_head_dim", 8)
+    depth = cfg.get("transformer_layers_per_block", 1)
+    add_dim = pooled_dim = None
+    if cfg.get("addition_embed_type") == "text_time":  # SDXL
+        add_dim = cfg.get("addition_time_embed_dim", 256)
+        # projection input = pooled + 6 micro-conditioning sinusoids
+        pooled_dim = cfg.get("projection_class_embeddings_input_dim",
+                             2816) - 6 * add_dim
     return UNetConfig(
         sample_size=cfg.get("sample_size", 64),
         in_channels=cfg.get("in_channels", 4),
@@ -366,8 +382,11 @@ def _unet_config_from_json(cfg: dict):
         cross_attention_dim=cfg.get("cross_attention_dim", 768),
         attention_head_dim=head if isinstance(head, int) else tuple(head),
         attn_levels=tuple(t == "CrossAttnDownBlock2D" for t in down),
+        transformer_depth=depth if isinstance(depth, int) else tuple(depth),
         flip_sin_to_cos=cfg.get("flip_sin_to_cos", True),
         freq_shift=cfg.get("freq_shift", 0),
+        addition_embed_dim=add_dim,
+        addition_pooled_dim=pooled_dim,
     )
 
 
@@ -384,7 +403,8 @@ def _vae_config_from_json(cfg: dict):
     )
 
 
-def _text_config_from_json(cfg: dict):
+def _text_config_from_json(cfg: dict, penultimate: bool = False,
+                           with_projection: bool = False):
     from .clip_text import CLIPTextConfig
     return CLIPTextConfig(
         vocab_size=cfg.get("vocab_size", 49408),
@@ -394,6 +414,9 @@ def _text_config_from_json(cfg: dict):
         num_heads=cfg.get("num_attention_heads", 12),
         max_position_embeddings=cfg.get("max_position_embeddings", 77),
         hidden_act=cfg.get("hidden_act", "quick_gelu"),
+        penultimate_hidden=penultimate,
+        projection_dim=(cfg.get("projection_dim", 1280) if with_projection
+                        else None),
     )
 
 
@@ -453,8 +476,11 @@ def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
 
     ucfg = _unet_config_from_json(_read_json(root / "unet" / "config.json"))
     vcfg = _vae_config_from_json(_read_json(root / "vae" / "config.json"))
+    is_xl = ucfg.addition_embed_dim is not None \
+        or (root / "text_encoder_2").exists()
     tcfg = _text_config_from_json(
-        _read_json(root / "text_encoder" / "config.json"))
+        _read_json(root / "text_encoder" / "config.json"),
+        penultimate=is_xl)
 
     params = {
         "unet": _to_jnp(convert_unet(
@@ -464,6 +490,15 @@ def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
         "text_encoder": _to_jnp(convert_text_encoder(
             load_state_dict(find_weights_file(root / "text_encoder")), tcfg)),
     }
+    tcfg2 = None
+    if is_xl:
+        # SDXL: OpenCLIP-bigG second tower with projected pooled output
+        tcfg2 = _text_config_from_json(
+            _read_json(root / "text_encoder_2" / "config.json"),
+            penultimate=True, with_projection=True)
+        params["text_encoder_2"] = _to_jnp(convert_text_encoder(
+            load_state_dict(find_weights_file(root / "text_encoder_2")),
+            tcfg2))
     safety_cfg = None
     if with_safety and (root / "safety_checker").exists():
         safety_cfg = SafetyConfig.sd_v1()
@@ -487,10 +522,12 @@ def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
         set_alpha_to_one=scfg_json.get("set_alpha_to_one", False),
         skip_prk_steps=scfg_json.get("skip_prk_steps", True),
     )
-    logger.info("loaded checkpoint %s (unet %s, vae %s)", root,
-                ucfg.block_out_channels, vcfg.block_out_channels)
+    logger.info("loaded checkpoint %s (unet %s, vae %s%s)", root,
+                ucfg.block_out_channels, vcfg.block_out_channels,
+                ", SDXL" if is_xl else "")
     return cls(ucfg, vcfg, tcfg, params, tokenizer, sched_cfg,
-               safety_config=safety_cfg, dtype=dtype, tiled=tiled)
+               safety_config=safety_cfg, dtype=dtype, tiled=tiled,
+               text_config_2=tcfg2)
 
 
 # ---------------------------------------------------------------------------
@@ -559,6 +596,9 @@ def export_unet(params: dict, config) -> dict[str, np.ndarray]:
     _inv_conv(p["conv_in"], "conv_in", out)
     _inv_lin(p["time_embedding"]["linear_1"], "time_embedding.linear_1", out)
     _inv_lin(p["time_embedding"]["linear_2"], "time_embedding.linear_2", out)
+    if "add_embedding" in p:  # SDXL text_time
+        _inv_lin(p["add_embedding"]["linear_1"], "add_embedding.linear_1", out)
+        _inv_lin(p["add_embedding"]["linear_2"], "add_embedding.linear_2", out)
     _inv_gn32(p["conv_norm_out"], "conv_norm_out", out)
     _inv_conv(p["conv_out"], "conv_out", out)
     n = len(config.block_out_channels)
@@ -569,13 +609,13 @@ def export_unet(params: dict, config) -> dict[str, np.ndarray]:
             if config.attn_levels[level]:
                 _inv_transformer(p[f"down_{level}_attn_{j}"],
                                  f"down_blocks.{level}.attentions.{j}",
-                                 config.transformer_depth, out)
+                                 config.depth(level), out)
         if level != n - 1:
             _inv_conv(p[f"down_{level}_downsample"]["conv"],
                       f"down_blocks.{level}.downsamplers.0.conv", out)
     _inv_resnet(p["mid_res_0"], "mid_block.resnets.0", out)
     _inv_transformer(p["mid_attn"], "mid_block.attentions.0",
-                     config.transformer_depth, out)
+                     config.depth(n - 1), out)
     _inv_resnet(p["mid_res_1"], "mid_block.resnets.1", out)
     for i in range(n):
         level = n - 1 - i
@@ -585,7 +625,7 @@ def export_unet(params: dict, config) -> dict[str, np.ndarray]:
             if config.attn_levels[level]:
                 _inv_transformer(p[f"up_{level}_attn_{j}"],
                                  f"up_blocks.{i}.attentions.{j}",
-                                 config.transformer_depth, out)
+                                 config.depth(level), out)
         if i != n - 1:
             _inv_conv(p[f"up_{level}_upsample"]["conv"],
                       f"up_blocks.{i}.upsamplers.0.conv", out)
@@ -641,6 +681,8 @@ def export_text_encoder(params: dict, config) -> dict[str, np.ndarray]:
             np.asarray(p["position_embedding"]["embedding"]),
     }
     _inv_norm(p["final_layer_norm"], "text_model.final_layer_norm", out)
+    if "text_projection" in p:
+        _inv_lin(p["text_projection"], "text_projection", out)
     for i in range(config.num_layers):
         b = f"text_model.encoder.layers.{i}"
         blk = p[f"layers_{i}"]

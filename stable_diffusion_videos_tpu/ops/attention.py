@@ -42,8 +42,16 @@ def _resolve_backend(seq_len: int, head_dim: int) -> str:
     # single-head D=512 full self-attention (5.2 vs 7.8ms at S=4096).  Tiny
     # sequences (CLIP's 77 tokens) always go through XLA fusion.
     on_tpu = jax.default_backend() == "tpu"
-    return "flash" if (on_tpu and seq_len >= 1024 and head_dim >= 256) \
-        else "xla"
+    if not on_tpu:
+        return "xla"
+    # Memory wall: from S=8192 (768^2 latents) the XLA path's fp32 score
+    # matrix is >=256 MB per (batch, head) slice — at 1024^2 (S=16384, 1 GB
+    # each, ~16 GB for one CFG pair) it cannot fit HBM at all.  Flash is
+    # slower per-FLOP at D=40 but is the only path that fits, and at these
+    # sizes XLA's logits HBM traffic dominates anyway.
+    if seq_len >= 8192:
+        return "flash"
+    return "flash" if (seq_len >= 1024 and head_dim >= 256) else "xla"
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -75,6 +75,12 @@ class StableDiffusionWalkPipeline:
         return cls(SDModels.tiny(), **kw)
 
     @classmethod
+    def tiny_xl(cls, **kw) -> "StableDiffusionWalkPipeline":
+        """Random tiny SDXL-flavoured pipeline (dual text towers +
+        text_time micro-conditioning)."""
+        return cls(SDModels.tiny_xl(), **kw)
+
+    @classmethod
     def from_pretrained(cls, path: str, scheduler: str = "pndm",
                         tiled: bool = False, dtype=None,
                         **kw) -> "StableDiffusionWalkPipeline":
@@ -110,6 +116,18 @@ class StableDiffusionWalkPipeline:
         with self.timer.stage("embed"):
             return np.asarray(self.engine.embed_text(text))
 
+    def _xl_pooled_kwargs(self, prompt, negative_prompt, batch: int):
+        """Pooled-embedding kwargs for SDXL bundles ({} for SD1/2)."""
+        if not self.models.is_xl:
+            return {}
+        pooled = self.engine.embed_text_pooled(prompt)
+        if batch > 1 and pooled.shape[0] == 1:
+            pooled = jax.numpy.broadcast_to(pooled,
+                                            (batch,) + pooled.shape[1:])
+        return dict(pooled=pooled,
+                    uncond_pooled=self.engine.embed_text_pooled(
+                        negative_prompt or ""))
+
     def init_noise(self, seed: int, noise_shape, dtype=np.float32):
         """Seeded latent noise, torch-stream-compatible by default
         (reference ``init_noise``, ``stable_diffusion_pipeline.py:822-838``).
@@ -137,8 +155,15 @@ class StableDiffusionWalkPipeline:
         interp = {"lerp": lerp, "slerp": slerp}
         embeds = interp[self.embed_interp](T, embeds_a[0], embeds_b[0])
         noise = interp[self.noise_interp](T, noise_a[0], noise_b[0])
+        pooled = None
+        if self.models.is_xl:
+            # SDXL: the pooled text embedding walks the same trajectory
+            pa = self.engine.embed_text_pooled(prompt_a)
+            pb = self.engine.embed_text_pooled(prompt_b)
+            pooled = interp[self.embed_interp](T, pa[0], pb[0])
         for i in range(0, len(T), batch_size):
-            yield embeds[i:i + batch_size], noise[i:i + batch_size]
+            yield (embeds[i:i + batch_size], noise[i:i + batch_size],
+                   None if pooled is None else pooled[i:i + batch_size])
 
     # ------------------------------------------------------------------
     # frame generation
@@ -197,6 +222,8 @@ class StableDiffusionWalkPipeline:
 
         noise_shape = self._latent_shape(height, width)
         uncond = self.engine.embed_text(negative_prompt or "")
+        uncond_pooled = (self.engine.embed_text_pooled(negative_prompt or "")
+                         if self.models.is_xl else None)
         from concurrent.futures import ThreadPoolExecutor
         save_pool = ThreadPoolExecutor(max_workers=4,
                                        thread_name_prefix="frame-save")
@@ -223,7 +250,7 @@ class StableDiffusionWalkPipeline:
             self.timer.add_frames(valid)
             self._advance_progress(valid)
 
-        for batch_idx, (embeds, noise) in enumerate(batch_gen):
+        for batch_idx, (embeds, noise, pooled) in enumerate(batch_gen):
             prefix = f"[{step[0]}/{step[1]}]" if step else ""
             logger.info("%s[%d] generating frames %d-%d / %d", prefix,
                         batch_idx, frame_index, frame_index + len(noise) - 1,
@@ -234,7 +261,8 @@ class StableDiffusionWalkPipeline:
                     num_inference_steps=num_inference_steps,
                     guidance_scale=guidance_scale, eta=eta,
                     key=jax.random.PRNGKey(int(seed_a) * 7919 + batch_idx),
-                    output_dtype="uint8")
+                    output_dtype="uint8",
+                    pooled=pooled, uncond_pooled=uncond_pooled)
             # overlap: save the previous batch while this one computes
             if pending is not None:
                 drain(pending)
@@ -493,12 +521,14 @@ class StableDiffusionWalkPipeline:
             cond = jax.numpy.broadcast_to(cond,
                                           (latents.shape[0],) + cond.shape[1:])
         uncond = self.engine.embed_text(negative_prompt or "")
+        xl_kw = self._xl_pooled_kwargs(prompt, negative_prompt,
+                                       latents.shape[0])
         with self.timer.stage("denoise"):
             images = self.engine.img2img(
                 cond, uncond, latents, strength=strength,
                 num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale, eta=eta,
-                key=jax.random.PRNGKey(int(seed)))
+                key=jax.random.PRNGKey(int(seed)), **xl_kw)
         self.timer.add_frames(len(images))
         if output_type == "pil":
             return self._postprocess(images)
@@ -538,12 +568,14 @@ class StableDiffusionWalkPipeline:
             cond = jax.numpy.broadcast_to(
                 cond, (latents.shape[0],) + cond.shape[1:])
         uncond = self.engine.embed_text(negative_prompt or "")
+        xl_kw = self._xl_pooled_kwargs(prompt, negative_prompt,
+                                       latents.shape[0])
         with self.timer.stage("denoise"):
             images = self.engine.inpaint(
                 cond, uncond, latents, m_lat,
                 num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale,
-                key=jax.random.PRNGKey(int(seed)))
+                key=jax.random.PRNGKey(int(seed)), **xl_kw)
         self.timer.add_frames(len(images))
         if output_type == "pil":
             return self._postprocess(images)
@@ -568,11 +600,14 @@ class StableDiffusionWalkPipeline:
                  text_embeddings: Optional[np.ndarray] = None,
                  negative_prompt: Optional[str] = None,
                  seed: Optional[int] = None,
-                 output_type: str = "pil", return_dict: bool = False):
+                 output_type: str = "pil", return_dict: bool = False,
+                 pooled_embeddings: Optional[np.ndarray] = None):
         """txt2img accepting precomputed ``text_embeddings`` and ``latents``
         (the key reference extension enabling walks).  ``return_dict=True``
         returns the reference ``__call__``'s dict shape
-        (``stable_diffusion_pipeline.py:449-455``)."""
+        (``stable_diffusion_pipeline.py:449-455``).  SDXL bundles take
+        ``pooled_embeddings`` alongside precomputed ``text_embeddings``
+        (derived from ``prompt`` otherwise)."""
         height = height or self.models.default_size
         width = width or self.models.default_size
         if text_embeddings is None:
@@ -580,6 +615,11 @@ class StableDiffusionWalkPipeline:
                 raise ValueError("provide `prompt` or `text_embeddings`")
             prompts = [prompt] if isinstance(prompt, str) else list(prompt)
             text_embeddings = self.engine.embed_text(prompts)
+            if self.models.is_xl and pooled_embeddings is None:
+                pooled_embeddings = self.engine.embed_text_pooled(prompts)
+        if self.models.is_xl and pooled_embeddings is None:
+            raise ValueError("SDXL bundle: precomputed text_embeddings also "
+                             "need pooled_embeddings")
         batch = text_embeddings.shape[0]
         if latents is None:
             shape = self._latent_shape(height, width)
@@ -587,12 +627,18 @@ class StableDiffusionWalkPipeline:
                 self.init_noise((seed or 0) + i, shape)
                 for i in range(batch)])
         uncond = self.engine.embed_text(negative_prompt or "")
+        xl_kw = {}
+        if self.models.is_xl:
+            xl_kw = dict(
+                pooled=jax.numpy.asarray(pooled_embeddings),
+                uncond_pooled=self.engine.embed_text_pooled(
+                    negative_prompt or ""))
         with self.timer.stage("denoise"):
             images = self.engine.denoise_frames(
                 jax.numpy.asarray(text_embeddings), uncond,
                 jax.numpy.asarray(latents),
                 num_inference_steps=num_inference_steps,
-                guidance_scale=guidance_scale, eta=eta)
+                guidance_scale=guidance_scale, eta=eta, **xl_kw)
         self.timer.add_frames(len(images))
         if return_dict:
             flags = (self.engine.check_safety(images) if self.safety

@@ -94,20 +94,49 @@ class Engine:
     # ------------------------------------------------------------------
     def embed_text(self, text, negative_prompt=None) -> jax.Array:
         """Prompt(s) -> (B, 77, D) hidden states (cf. reference ``embed_text``,
-        ``stable_diffusion_pipeline.py:809-820``)."""
+        ``stable_diffusion_pipeline.py:809-820``).  For SDXL bundles D is the
+        dual-tower concatenation (768+1280)."""
+        return self._embed(text)[0]
+
+    def embed_text_pooled(self, text) -> jax.Array:
+        """SDXL: prompt(s) -> (B, Dp) projected pooled embedding (tower 2) —
+        the text half of the text_time addition conditioning."""
+        pooled = self._embed(text)[1]
+        if pooled is None:
+            raise ValueError("pooled embeddings require an SDXL bundle "
+                             "(text_config_2)")
+        return pooled
+
+    def _embed(self, text):
         if self._embed_fn is None:
             enc = self.models.text_encoder()
-            self._embed_fn = jax.jit(
-                lambda p, ids: enc.apply(p, ids)[0],
-                out_shardings=replicated(self.mesh))
+            enc2 = self.models.text_encoder_2()
+            rep = replicated(self.mesh)
+            if enc2 is not None:
+                def fn(p, p2, ids):
+                    h1, _ = enc.apply(p, ids)
+                    h2, pooled = enc2.apply(p2, ids)
+                    return jnp.concatenate(
+                        [h1.astype(jnp.float32), h2.astype(jnp.float32)],
+                        axis=-1), pooled
+                self._embed_fn = jax.jit(fn, out_shardings=(rep, rep))
+            else:
+                f = jax.jit(lambda p, ids: enc.apply(p, ids)[0],
+                            out_shardings=rep)
+                self._embed_fn = lambda p, ids: (f(p, ids), None)
         texts = [text] if isinstance(text, str) else list(text)
         key = tuple(texts)
         if key not in self._embed_cache:
             if len(self._embed_cache) > 256:
                 self._embed_cache.clear()
-            ids = self.models.tokenizer(texts)["input_ids"]
-            self._embed_cache[key] = self._embed_fn(
-                self._params["text_encoder"], jnp.asarray(ids))
+            ids = jnp.asarray(self.models.tokenizer(texts)["input_ids"])
+            if self.models.text_config_2 is not None:
+                self._embed_cache[key] = self._embed_fn(
+                    self._params["text_encoder"],
+                    self._params["text_encoder_2"], ids)
+            else:
+                self._embed_cache[key] = self._embed_fn(
+                    self._params["text_encoder"], ids)
         return self._embed_cache[key]
 
     # ------------------------------------------------------------------
@@ -137,7 +166,9 @@ class Engine:
             from jax.sharding import NamedSharding, PartitionSpec as P
             spatial = NamedSharding(self.mesh, P("data", None, "model", None))
 
-        def body(params, context, guidance, tables, carry, i):
+        is_xl = self.models.is_xl
+
+        def body(params, context, added, guidance, tables, carry, i):
             lat, st = carry
             t = sched.timestep(tables, i)
             inp = sched.scale_model_input(tables, st, i, lat)
@@ -145,7 +176,11 @@ class Engine:
             if spatial is not None:
                 inp2 = jax.lax.with_sharding_constraint(inp2, spatial)
             tb = jnp.broadcast_to(t, (inp2.shape[0],))
-            eps = unet.apply(params["unet"], inp2, tb, context)
+            if is_xl:  # text_time micro-conditioning rides along
+                eps = unet.apply(params["unet"], inp2, tb, context,
+                                 added[0], added[1])
+            else:
+                eps = unet.apply(params["unet"], inp2, tb, context)
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps = eps_u + guidance * (eps_c - eps_u)
             st, lat = sched.step(tables, st, i, eps, lat)
@@ -165,12 +200,13 @@ class Engine:
 
         tiled_vae = self.vae_tile is not None
 
-        def program(params, context, latents, guidance, tables, key):
+        def program(params, context, added, latents, guidance, tables, key):
             lat = latents * sched.init_noise_sigma(tables)
             state = sched.init_state(tables, latents.shape, key=key)
             n_loop = sched.num_loop_steps(tables)
             (lat, _), _ = jax.lax.scan(
-                lambda c, i: (body(params, context, guidance, tables, c, i),
+                lambda c, i: (body(params, context, added, guidance, tables,
+                                   c, i),
                               None),
                 (lat, state), jnp.arange(n_loop))
             if tiled_vae:
@@ -183,14 +219,14 @@ class Engine:
             step_fn = jax.jit(body)
             decode_fn = jax.jit(decode)
 
-            def debug_program(params, context, latents, guidance, tables,
-                              key):
+            def debug_program(params, context, added, latents, guidance,
+                              tables, key):
                 lat = latents * sched.init_noise_sigma(tables)
                 state = sched.init_state(tables, latents.shape, key=key)
                 self.debug_latents = []
                 for i in range(sched.num_loop_steps(tables)):
-                    lat, state = step_fn(params, context, guidance, tables,
-                                         (lat, state), jnp.int32(i))
+                    lat, state = step_fn(params, context, added, guidance,
+                                         tables, (lat, state), jnp.int32(i))
                     self.debug_latents.append(lat)
                 return decode_fn(params, lat)
 
@@ -199,10 +235,14 @@ class Engine:
         bs = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
         # shardings are pytree prefixes: one spec per whole subtree (params
-        # carry their own full tree — TP-sharded or replicated)
+        # carry their own full tree — TP-sharded or replicated).  ``added``
+        # is () for SD1/2 or the (pooled, time_ids) pair for SDXL, both
+        # batch-sharded.
+        added_spec = (bs, bs) if is_xl else ()
         return jax.jit(
             program,
-            in_shardings=(self._param_shardings, bs, bs, rep, rep, rep),
+            in_shardings=(self._param_shardings, bs, added_spec, bs, rep,
+                          rep, rep),
             out_shardings=bs,
         )
 
@@ -218,17 +258,47 @@ class Engine:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+    def _added_conds(self, pad, pooled, uncond_pooled, B: int, Bp: int,
+                     h: int, w: int):
+        """SDXL text_time conditioning for one dispatch: the CFG-stacked
+        pooled embeddings and the size/crop time_ids
+        (orig_h, orig_w, 0, 0, target_h, target_w)."""
+        if not self.models.is_xl:
+            return ()
+        if pooled is None:
+            raise ValueError("SDXL bundle: pass pooled= (see "
+                             "embed_text_pooled)")
+        if uncond_pooled is None:
+            uncond_pooled = self.embed_text_pooled("")
+        pooled = jnp.asarray(pooled)
+        uncond_pooled = jnp.asarray(uncond_pooled)
+        if uncond_pooled.shape[0] == 1 and B > 1:
+            uncond_pooled = jnp.broadcast_to(uncond_pooled,
+                                             (B,) + uncond_pooled.shape[1:])
+        f = self.models.vae_scale_factor
+        tids = jnp.broadcast_to(
+            jnp.asarray([h * f, w * f, 0, 0, h * f, w * f], jnp.float32),
+            (2 * Bp, 6))
+        bs = batch_sharding(self.mesh)
+        added = (jax.device_put(
+            jnp.concatenate([pad(uncond_pooled), pad(pooled)], axis=0), bs),
+            jax.device_put(tids, bs))
+        return added
+
     def denoise_frames_async(self, cond, uncond, noise, *,
                              num_inference_steps: int = 50,
                              guidance_scale: float = 7.5, eta: float = 0.0,
                              key: Optional[jax.Array] = None,
-                             output_dtype: str = "float32"):
+                             output_dtype: str = "float32",
+                             pooled=None, uncond_pooled=None):
         """Launch one sharded dispatch; returns (device_array, valid_batch).
 
         cond/uncond: (B, S, D) text embeddings; noise: (B, h, w, 4).
         The batch is padded to the bucket size; callers slice ``[:valid]``
         after transfer.  ``output_dtype="uint8"`` quantises frames on device
         (4x less transfer; ignored for tiled decode, which stays float).
+        SDXL bundles additionally take ``pooled``/``uncond_pooled``
+        (B, Dp) pooled text embeddings (``embed_text_pooled``).
         """
         B = noise.shape[0]
         Bp = pad_to_multiple(max(B, self.batch_bucket), self.batch_bucket)
@@ -250,6 +320,7 @@ class Engine:
         context = jax.device_put(context, bs)
         noise_p = jax.device_put(noise_p, bs)
         h, w = noise.shape[1], noise.shape[2]
+        added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w)
         tables = self._tables(num_inference_steps, eta)
         out_u8 = output_dtype == "uint8" and self.vae_tile is None
         fn = self._get_compiled(Bp, h, w, num_inference_steps, cond.shape[1],
@@ -257,7 +328,7 @@ class Engine:
         if key is None:
             key = jax.random.PRNGKey(0)
         with _trace("denoise_dispatch"):
-            imgs = fn(self._params, context, noise_p,
+            imgs = fn(self._params, context, added, noise_p,
                       jnp.float32(guidance_scale), tables, key)
         if self.vae_tile is not None:
             imgs = self.decode_latents_tiled(imgs)
@@ -352,16 +423,21 @@ class Engine:
         width = width or self.models.default_size
         f = self.models.vae_scale_factor
         c = self.models.unet_config.in_channels
-        d = self.models.text_config.hidden_size
+        d = self.models.unet_config.cross_attention_dim
         t0 = _time.perf_counter()
         for b in batches:
             b = b or self.batch_bucket
             cond = jnp.zeros((b, 77, d))
             noise = jnp.zeros((b, height // f, width // f, c))
+            kw = {}
+            if self.models.is_xl:
+                dp = self.models.unet_config.addition_pooled_dim
+                kw = dict(pooled=jnp.zeros((b, dp)),
+                          uncond_pooled=jnp.zeros((1, dp)))
             imgs, _ = self.denoise_frames_async(
                 cond, cond[:1], noise,
                 num_inference_steps=num_inference_steps,
-                output_dtype=output_dtype)
+                output_dtype=output_dtype, **kw)
             jax.block_until_ready(imgs)
         return _time.perf_counter() - t0
 
@@ -397,7 +473,8 @@ class Engine:
 
     def img2img(self, cond, uncond, init_latents, *, strength: float = 0.75,
                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
-                eta: float = 0.0, key=None) -> np.ndarray:
+                eta: float = 0.0, key=None, pooled=None,
+                uncond_pooled=None) -> np.ndarray:
         """Denoise from a noised version of ``init_latents`` (scaled VAE
         means, (B, h, w, 4)): ``strength`` in (0, 1] controls how much of the
         schedule runs (1.0 == full txt2img from noise)."""
@@ -436,10 +513,11 @@ class Engine:
             jnp.concatenate([pad(uncond), pad(cond)], axis=0), bs)
         noisy_p = jax.device_put(pad(noisy), bs)
         h, w = noisy.shape[1], noisy.shape[2]
+        added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w)
         fn = self._get_compiled(Bp, h, w,
                                 ("img2img", num_inference_steps, k0),
                                 cond.shape[1])
-        imgs = fn(self._params, context, noisy_p,
+        imgs = fn(self._params, context, added, noisy_p,
                   jnp.float32(guidance_scale), sliced, key)
         if self.vae_tile is not None:
             imgs = self.decode_latents_tiled(imgs)
@@ -447,7 +525,8 @@ class Engine:
 
     def inpaint(self, cond, uncond, init_latents, mask, *,
                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
-                eta: float = 0.0, key=None) -> np.ndarray:
+                eta: float = 0.0, key=None, pooled=None,
+                uncond_pooled=None) -> np.ndarray:
         """Masked generation: regenerate where ``mask``==1, keep the init
         image elsewhere by re-injecting the correctly-noised known region
         after every scheduler step (RePaint-style projection).
@@ -482,12 +561,13 @@ class Engine:
         mask_p = jax.device_put(pad(jnp.asarray(mask, jnp.float32)), bs)
 
         h, w = init_latents.shape[1], init_latents.shape[2]
+        added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w)
         ckey = (Bp, h, w, ("inpaint", num_inference_steps), cond.shape[1])
         with self._cache_lock:
             if ckey not in self._compiled:
                 self._compiled[ckey] = self._build_inpaint(Bp, h, w)
         fn = self._compiled[ckey]
-        imgs = fn(self._params, context, init_p, mask_p,
+        imgs = fn(self._params, context, added, init_p, mask_p,
                   jnp.float32(guidance_scale), tables, key)
         if self.vae_tile is not None:
             imgs = self.decode_latents_tiled(imgs)
@@ -516,7 +596,10 @@ class Engine:
             noised = jnp.sqrt(acp) * init + jnp.sqrt(1 - acp) * noise0
             return jnp.where(last, init, noised)
 
-        def program(params, context, init, mask, guidance, tables, key):
+        is_xl = self.models.is_xl
+
+        def program(params, context, added, init, mask, guidance, tables,
+                    key):
             key, kn, ks = jax.random.split(key, 3)
             noise0 = jax.random.normal(kn, init.shape, jnp.float32)
             lat = noise0 * sched.init_noise_sigma(tables)
@@ -529,7 +612,11 @@ class Engine:
                 inp = sched.scale_model_input(tables, st, i, lat)
                 inp2 = jnp.concatenate([inp, inp], axis=0)
                 tb = jnp.broadcast_to(t, (inp2.shape[0],))
-                eps = unet.apply(params["unet"], inp2, tb, context)
+                if is_xl:
+                    eps = unet.apply(params["unet"], inp2, tb, context,
+                                     added[0], added[1])
+                else:
+                    eps = unet.apply(params["unet"], inp2, tb, context)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance * (eps_c - eps_u)
                 st, lat = sched.step(tables, st, i, eps, lat)
@@ -545,9 +632,10 @@ class Engine:
 
         bs = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
+        added_spec = (bs, bs) if is_xl else ()
         return jax.jit(program,
-                       in_shardings=(self._param_shardings, bs, bs, bs, rep,
-                                     rep, rep),
+                       in_shardings=(self._param_shardings, bs, added_spec,
+                                     bs, bs, rep, rep, rep),
                        out_shardings=bs)
 
     def encode_image(self, images) -> jax.Array:
