@@ -37,6 +37,9 @@ class SDModels:
     #: concatenate to ``unet_config.cross_attention_dim`` and tower 2's
     #: projected pooled output feeds the text_time addition embedding
     text_config_2: Optional[CLIPTextConfig] = None
+    #: SDXL tokenizer for tower 2 (same BPE, pads with 0 instead of eos);
+    #: None falls back to ``tokenizer``
+    tokenizer_2: Optional[BaseTokenizer] = None
 
     # ---- module builders (modules are stateless; params passed at call) ----
     def unet(self) -> UNet2DCondition:

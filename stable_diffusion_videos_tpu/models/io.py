@@ -47,6 +47,8 @@ def save_bundle(models, path) -> str:
         "unet_config": _cfg_to_dict(models.unet_config),
         "vae_config": _cfg_to_dict(models.vae_config),
         "text_config": _cfg_to_dict(models.text_config),
+        "text_config_2": (_cfg_to_dict(models.text_config_2)
+                          if models.text_config_2 else None),
         "scheduler_config": _cfg_to_dict(models.scheduler_config),
         "safety_config": (_cfg_to_dict(models.safety_config)
                           if models.safety_config else None),
@@ -62,6 +64,12 @@ def save_bundle(models, path) -> str:
         tok_dir.mkdir(exist_ok=True)
         shutil.copy(models.tokenizer.vocab_path, tok_dir / "vocab.json")
         shutil.copy(models.tokenizer.merges_path, tok_dir / "merges.txt")
+    if isinstance(models.tokenizer_2, CLIPBPETokenizer):
+        import shutil
+        tok_dir = path / "tokenizer_2"
+        tok_dir.mkdir(exist_ok=True)
+        shutil.copy(models.tokenizer_2.vocab_path, tok_dir / "vocab.json")
+        shutil.copy(models.tokenizer_2.merges_path, tok_dir / "merges.txt")
     for name, tree in models.params.items():
         host = jax.tree.map(np.asarray, tree)
         (path / f"{name}.msgpack").write_bytes(
@@ -92,9 +100,12 @@ def load_bundle(path, dtype=None, cls=None):
         return d
 
     ucfg = UNetConfig(**tup(meta["unet_config"], "block_out_channels",
-                            "attn_levels"))
+                            "attn_levels", "attention_head_dim",
+                            "transformer_depth"))
     vcfg = VAEConfig(**tup(meta["vae_config"], "block_out_channels"))
     tcfg = CLIPTextConfig(**meta["text_config"])
+    tcfg2 = (CLIPTextConfig(**meta["text_config_2"])
+             if meta.get("text_config_2") else None)
     scfg = SchedulerConfig(**meta["scheduler_config"])
     safety_cfg = None
     if meta["safety_config"]:
@@ -114,8 +125,13 @@ def load_bundle(path, dtype=None, cls=None):
     else:
         tokenizer = HashTokenizer(
             vocab_size=meta.get("tokenizer_vocab_size") or tcfg.vocab_size)
+    tok2_dir = path / "tokenizer_2"
+    tokenizer_2 = (CLIPBPETokenizer(tok2_dir / "vocab.json",
+                                    tok2_dir / "merges.txt", pad_token_id=0)
+                   if tok2_dir.exists() else None)
 
     load_dtype = dtype or jnp.dtype(meta["dtype"])
     return cls(ucfg, vcfg, tcfg, params, tokenizer, scfg,
                safety_config=safety_cfg, dtype=load_dtype,
-               tiled=meta["tiled"])
+               tiled=meta["tiled"], text_config_2=tcfg2,
+               tokenizer_2=tokenizer_2)

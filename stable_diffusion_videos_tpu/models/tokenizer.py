@@ -30,6 +30,9 @@ class BaseTokenizer:
     model_max_length: int = 77
     bos_token_id: int = 49406
     eos_token_id: int = 49407
+    #: id used to fill past the EOS; CLIP's tokenizer pads with eos, SDXL's
+    #: tokenizer_2 (OpenCLIP) pads with 0 — None means "pad with eos"
+    pad_token_id: int | None = None
 
     def encode(self, text: str) -> list[int]:
         raise NotImplementedError
@@ -41,7 +44,9 @@ class BaseTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         L = max_length or self.model_max_length
-        out = np.full((len(texts), L), self.eos_token_id, np.int32)
+        pad = self.eos_token_id if self.pad_token_id is None \
+            else self.pad_token_id
+        out = np.full((len(texts), L), pad, np.int32)
         n_trunc = 0
         for i, t in enumerate(texts):
             ids = [self.bos_token_id] + self.encode(t) + [self.eos_token_id]
@@ -86,7 +91,7 @@ def _whitespace_clean(text: str) -> str:
 class CLIPBPETokenizer(BaseTokenizer):
     """Byte-level BPE with CLIP's end-of-word markers."""
 
-    def __init__(self, vocab_path, merges_path):
+    def __init__(self, vocab_path, merges_path, pad_token_id=None):
         self.vocab_path, self.merges_path = str(vocab_path), str(merges_path)
         with open(vocab_path) as f:
             self.encoder = json.load(f)
@@ -104,6 +109,7 @@ class CLIPBPETokenizer(BaseTokenizer):
         self.cache: dict[str, str] = {}
         self.bos_token_id = self.encoder.get("<|startoftext|>", 49406)
         self.eos_token_id = self.encoder.get("<|endoftext|>", 49407)
+        self.pad_token_id = pad_token_id
 
     def _bpe(self, token: str) -> str:
         if token in self.cache:

@@ -509,6 +509,15 @@ def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
     tok_dir = root / "tokenizer"
     tokenizer = CLIPBPETokenizer(tok_dir / "vocab.json",
                                  tok_dir / "merges.txt")
+    tokenizer_2 = None
+    if is_xl:
+        # SDXL's tokenizer_2 shares the BPE but pads with 0 ("!") not eos
+        tok2_dir = root / "tokenizer_2"
+        if not (tok2_dir / "vocab.json").exists():
+            tok2_dir = tok_dir
+        tokenizer_2 = CLIPBPETokenizer(tok2_dir / "vocab.json",
+                                       tok2_dir / "merges.txt",
+                                       pad_token_id=0)
 
     scfg_json = _read_json(root / "scheduler" / "scheduler_config.json")
     sched_cfg = SchedulerConfig(
@@ -527,7 +536,7 @@ def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
                 ", SDXL" if is_xl else "")
     return cls(ucfg, vcfg, tcfg, params, tokenizer, sched_cfg,
                safety_config=safety_cfg, dtype=dtype, tiled=tiled,
-               text_config_2=tcfg2)
+               text_config_2=tcfg2, tokenizer_2=tokenizer_2)
 
 
 # ---------------------------------------------------------------------------

@@ -76,11 +76,13 @@ def generate_images(pipeline, prompt: str, batch_size: int = 1,
                                 for s in batch_seeds])
         cond = jax.numpy.broadcast_to(embed, (len(batch_seeds),)
                                       + embed.shape[1:])
+        xl_kw = pipeline._xl_pooled_kwargs(prompt, negative_prompt,
+                                           len(batch_seeds))
         with pipeline.timer.stage("denoise"):
             images = pipeline.engine.denoise_frames(
                 cond, uncond, jax.numpy.asarray(noise),
                 num_inference_steps=num_inference_steps,
-                guidance_scale=guidance_scale, eta=eta)
+                guidance_scale=guidance_scale, eta=eta, **xl_kw)
         pipeline.timer.add_frames(len(images))
         for seed, pil in zip(batch_seeds, pipeline._postprocess(images)):
             fpath = save_path / f"{seed}{image_file_ext}"

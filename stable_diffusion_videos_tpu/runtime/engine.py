@@ -113,9 +113,9 @@ class Engine:
             enc2 = self.models.text_encoder_2()
             rep = replicated(self.mesh)
             if enc2 is not None:
-                def fn(p, p2, ids):
+                def fn(p, p2, ids, ids2):
                     h1, _ = enc.apply(p, ids)
-                    h2, pooled = enc2.apply(p2, ids)
+                    h2, pooled = enc2.apply(p2, ids2)
                     return jnp.concatenate(
                         [h1.astype(jnp.float32), h2.astype(jnp.float32)],
                         axis=-1), pooled
@@ -131,9 +131,11 @@ class Engine:
                 self._embed_cache.clear()
             ids = jnp.asarray(self.models.tokenizer(texts)["input_ids"])
             if self.models.text_config_2 is not None:
+                tok2 = self.models.tokenizer_2 or self.models.tokenizer
+                ids2 = jnp.asarray(tok2(texts)["input_ids"])
                 self._embed_cache[key] = self._embed_fn(
                     self._params["text_encoder"],
-                    self._params["text_encoder_2"], ids)
+                    self._params["text_encoder_2"], ids, ids2)
             else:
                 self._embed_cache[key] = self._embed_fn(
                     self._params["text_encoder"], ids)

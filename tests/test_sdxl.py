@@ -384,6 +384,49 @@ def test_load_sdxl_checkpoint_dir(tmp_path):
     assert imgs.shape[0] == 1 and np.isfinite(imgs).all()
 
 
+def test_tokenizer_pad_token_id(tmp_path):
+    """SDXL's tokenizer_2 pads with 0 instead of eos; pooled-embedding
+    argmax still lands on the eos position either way."""
+    import json as _json
+
+    from stable_diffusion_videos_tpu.models.tokenizer import CLIPBPETokenizer
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 9, "a</w>": 2}
+    (tmp_path / "vocab.json").write_text(_json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    tok = CLIPBPETokenizer(tmp_path / "vocab.json", tmp_path / "merges.txt")
+    tok2 = CLIPBPETokenizer(tmp_path / "vocab.json", tmp_path / "merges.txt",
+                            pad_token_id=0)
+    ids = tok(["a"])["input_ids"][0]
+    ids2 = tok2(["a"])["input_ids"][0]
+    assert list(ids[:3]) == [0, 2, 9] and (ids[3:] == 9).all()
+    assert list(ids2[:3]) == [0, 2, 9] and (ids2[3:] == 0).all()
+    assert ids.argmax() == ids2.argmax() == 2  # eos position for pooling
+
+
+def test_xl_bundle_save_load_roundtrip(tmp_path):
+    models = SDModels.tiny_xl()
+    models.save(tmp_path / "bundle")
+    back = SDModels.load(tmp_path / "bundle")
+    assert back.is_xl
+    assert back.text_config_2 == models.text_config_2
+    assert back.unet_config == models.unet_config
+    a = jax.tree.leaves(models.params["text_encoder_2"])
+    b = jax.tree.leaves(back.params["text_encoder_2"])
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_xl_generate_images(tmp_path, xl_pipe):
+    from stable_diffusion_videos_tpu.pipeline.image_generation import \
+        generate_images
+    paths = generate_images(xl_pipe, "a cat", batch_size=2, num_batches=1,
+                            seeds=[3, 4], num_inference_steps=2,
+                            output_dir=str(tmp_path))
+    assert len(paths) == 2
+    from pathlib import Path
+    assert all(Path(p).stat().st_size > 100 for p in paths)
+
+
 def test_xl_img2img_and_inpaint(xl_pipe):
     size = xl_pipe.models.default_size
     img = np.random.default_rng(0).random((size, size, 3)).astype(np.float32)

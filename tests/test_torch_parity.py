@@ -195,6 +195,29 @@ def test_unet_parity_deeper_config():
     np.testing.assert_allclose(out_f, out_t, **TOL)
 
 
+def test_unet_parity_sdxl_config():
+    """SDXL semantics vs the independent torch transcription: per-level
+    transformer depth and the text_time addition embedding (6 sinusoidal
+    size/crop embeddings + pooled text through a second MLP into temb)."""
+    cfg = UNetConfig.tiny_xl()
+    tm = TorchUNet(cfg)
+    lat = rand(2, cfg.in_channels, 8, 8, seed=21)
+    t = torch.tensor([3.0, 977.0])
+    ctx = rand(2, 7, cfg.cross_attention_dim, seed=22)
+    te = rand(2, cfg.addition_pooled_dim, seed=23)
+    ti = torch.tensor([[64.0, 64, 0, 0, 64, 64], [32.0, 48, 4, 2, 32, 48]])
+    out_t = nhwc(tm(lat, t, ctx, te, ti))
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, W.convert_unet(sd, cfg))
+    out_f = np.asarray(UNet2DCondition(cfg).apply(
+        params, jnp.asarray(nhwc(lat)), jnp.asarray(t.numpy()),
+        jnp.asarray(ctx.numpy()), jnp.asarray(te.numpy()),
+        jnp.asarray(ti.numpy())))
+    assert out_f.shape == out_t.shape
+    np.testing.assert_allclose(out_f, out_t, **TOL)
+
+
 def test_vae_parity_vs_torch_impl():
     cfg = VAEConfig.tiny()
     tm = TorchVAE(cfg)

@@ -197,10 +197,13 @@ class TorchUNet(nn.Module):
         self.cfg = cfg
         chans = cfg.block_out_channels
         n = len(chans)
-        heads = cfg.attention_head_dim  # SD quirk: this field IS num_heads
         temb_dim = chans[0] * 4
         self.conv_in = nn.Conv2d(cfg.in_channels, chans[0], 3, padding=1)
         self.time_embedding = TimestepEmbedding(chans[0], temb_dim)
+        if cfg.addition_embed_dim is not None:  # SDXL text_time
+            self.add_embedding = TimestepEmbedding(
+                cfg.addition_pooled_dim + 6 * cfg.addition_embed_dim,
+                temb_dim)
 
         skips = [chans[0]]
         self.down_blocks = nn.ModuleList()
@@ -212,8 +215,8 @@ class TorchUNet(nn.Module):
                 ch = out_ch
                 if cfg.attn_levels[level]:
                     attns.append(Transformer2DModel(
-                        ch, cfg.cross_attention_dim, heads,
-                        cfg.transformer_depth))
+                        ch, cfg.cross_attention_dim, cfg.heads(level),
+                        cfg.depth(level)))
                 skips.append(ch)
             kw = {"resnets": resnets}
             if cfg.attn_levels[level]:
@@ -228,8 +231,8 @@ class TorchUNet(nn.Module):
             resnets=nn.ModuleList([ResnetBlock2D(mid_ch, mid_ch, temb_dim),
                                    ResnetBlock2D(mid_ch, mid_ch, temb_dim)]),
             attentions=nn.ModuleList([Transformer2DModel(
-                mid_ch, cfg.cross_attention_dim, heads,
-                cfg.transformer_depth)]))
+                mid_ch, cfg.cross_attention_dim, cfg.heads(n - 1),
+                cfg.depth(n - 1))]))
 
         self.up_blocks = nn.ModuleList()
         for i in range(n):
@@ -242,8 +245,8 @@ class TorchUNet(nn.Module):
                 ch = out_ch
                 if cfg.attn_levels[level]:
                     attns.append(Transformer2DModel(
-                        ch, cfg.cross_attention_dim, heads,
-                        cfg.transformer_depth))
+                        ch, cfg.cross_attention_dim, cfg.heads(level),
+                        cfg.depth(level)))
             kw = {"resnets": resnets}
             if cfg.attn_levels[level]:
                 kw["attentions"] = attns
@@ -254,13 +257,21 @@ class TorchUNet(nn.Module):
         self.conv_norm_out = nn.GroupNorm(32, chans[0], eps=1e-5)
         self.conv_out = nn.Conv2d(chans[0], cfg.out_channels, 3, padding=1)
 
-    def forward(self, sample, timesteps, ctx):
+    def forward(self, sample, timesteps, ctx, text_embeds=None,
+                time_ids=None):
         cfg = self.cfg
         if timesteps.ndim == 0:
             timesteps = timesteps.expand(sample.shape[0])
         temb = self.time_embedding(timestep_embedding(
             timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos,
             cfg.freq_shift))
+        if cfg.addition_embed_dim is not None:
+            ids_emb = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_embed_dim,
+                cfg.flip_sin_to_cos, cfg.freq_shift
+            ).reshape(sample.shape[0], -1)
+            temb = temb + self.add_embedding(
+                torch.cat([text_embeds, ids_emb], dim=-1))
         x = self.conv_in(sample)
         skips = [x]
         for blk in self.down_blocks:
