@@ -37,22 +37,29 @@ class DynamicBatcher:
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1000.0
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
-        self._thread = threading.Thread(target=self._loop, daemon=True,
-                                        name="dynamic-batcher")
+        self._thread: Optional[threading.Thread] = None
         self._started = False
+        self._drain = True
         self._lock = threading.Lock()
 
     def start(self):
         with self._lock:
             if not self._started:
                 self._started = True
+                # a fresh Thread every start: a joined thread can't restart
+                self._thread = threading.Thread(target=self._loop, daemon=True,
+                                                name="dynamic-batcher")
                 self._thread.start()
         return self
 
-    def stop(self):
+    def stop(self, drain: bool = True, timeout: float = 120.0):
+        """Graceful shutdown.  ``drain=True`` (default) finishes every
+        request already queued before exiting; ``drain=False`` fails their
+        futures immediately with RuntimeError so no client blocks forever."""
         if self._started:
+            self._drain = drain
             self._q.put(None)
-            self._thread.join(timeout=30)
+            self._thread.join(timeout=timeout)
             self._started = False
 
     # ------------------------------------------------------------------
@@ -105,11 +112,46 @@ class DynamicBatcher:
         while True:
             batch = self._collect()
             if not batch:
+                self._shutdown_pending()
                 return
             try:
                 self._run_batch(batch)
             except Exception as e:
                 logger.exception("batched dispatch failed")
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _shutdown_pending(self):
+        """The shutdown marker was consumed: requests still queued are
+        either drained to completion (graceful, default) or failed fast —
+        never silently abandoned with forever-pending futures."""
+        rest: list[_Request] = []
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                rest.append(r)
+        if not rest:
+            return
+        if not self._drain:
+            err = RuntimeError("batcher stopped before request ran")
+            for req in rest:
+                if not req.future.done():
+                    req.future.set_exception(err)
+            return
+        logger.info("batcher draining %d pending request(s)", len(rest))
+        while rest:
+            sig = rest[0].signature
+            batch = [r for r in rest if r.signature == sig][:self.max_batch]
+            batch_ids = {id(r) for r in batch}
+            rest = [r for r in rest if id(r) not in batch_ids]
+            try:
+                self._run_batch(batch)
+            except Exception as e:
+                logger.exception("batched dispatch failed during drain")
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
@@ -121,11 +163,17 @@ class DynamicBatcher:
                     len(batch), steps, height, width)
         embeds = pipe.engine.embed_text([r.prompt for r in batch])
         uncond = pipe.engine.embed_text(negative)
+        xl_kw = {}
+        if pipe.models.is_xl:
+            xl_kw = dict(
+                pooled=pipe.engine.embed_text_pooled(
+                    [r.prompt for r in batch]),
+                uncond_pooled=pipe.engine.embed_text_pooled(negative))
         shape = pipe._latent_shape(height, width)
         noise = np.concatenate([pipe.init_noise(r.seed, shape)
                                 for r in batch])
         images = pipe.engine.denoise_frames(
             embeds, uncond, noise, num_inference_steps=steps,
-            guidance_scale=guidance, eta=eta)
+            guidance_scale=guidance, eta=eta, **xl_kw)
         for req, img in zip(batch, images):
             req.future.set_result(img)

@@ -75,3 +75,45 @@ def test_batcher_error_propagates(pipeline):
     finally:
         pipeline.engine.denoise_frames = real
         b.stop()
+
+
+def test_batcher_stop_drains_pending(pipeline):
+    """Graceful shutdown: requests already queued complete instead of
+    hanging forever on abandoned futures."""
+    from stable_diffusion_videos_tpu.runtime.batcher import DynamicBatcher
+    # huge delay window so requests are still queued when stop() lands
+    b = DynamicBatcher(pipeline, max_batch=2, max_delay_ms=5000).start()
+    futs = [b.submit(f"drain{i}", seed=i, num_inference_steps=2)
+            for i in range(3)]
+    stopper = threading.Thread(target=b.stop)  # drain=True default
+    stopper.start()
+    frames = [f.result(timeout=300) for f in futs]
+    stopper.join(timeout=300)
+    assert all(f.shape[-1] == 3 for f in frames)
+    assert not b._started
+
+
+def test_batcher_stop_fail_fast(pipeline):
+    from stable_diffusion_videos_tpu.runtime.batcher import DynamicBatcher
+    b = DynamicBatcher(pipeline, max_batch=2, max_delay_ms=5000).start()
+    # block the loop with one slow request, queue more behind it
+    first = b.submit("x", seed=0, num_inference_steps=2)
+    time.sleep(0.05)
+    rest = [b.submit(f"y{i}", seed=i, num_inference_steps=4)
+            for i in range(2)]
+    b.stop(drain=False)
+    first.result(timeout=300)  # in-flight batch still completes
+    for f in rest:
+        with pytest.raises(RuntimeError, match="batcher stopped"):
+            f.result(timeout=60)
+
+
+def test_batcher_restarts_after_stop(pipeline):
+    from stable_diffusion_videos_tpu.runtime.batcher import DynamicBatcher
+    b = DynamicBatcher(pipeline, max_batch=2, max_delay_ms=10).start()
+    b.submit("a", seed=1, num_inference_steps=2).result(timeout=300)
+    b.stop()
+    # a joined thread cannot be restarted; start() must build a fresh one
+    f = b.submit("b", seed=2, num_inference_steps=2)
+    assert f.result(timeout=300).shape[-1] == 3
+    b.stop()
