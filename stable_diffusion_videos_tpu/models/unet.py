@@ -123,13 +123,24 @@ class UNet2DCondition(nn.Module):
     def __call__(self, sample: jax.Array, timesteps: jax.Array,
                  encoder_hidden_states: jax.Array,
                  text_embeds: jax.Array = None,
-                 time_ids: jax.Array = None) -> jax.Array:
+                 time_ids: jax.Array = None, *,
+                 cache_split: int = None,
+                 deep_feature: jax.Array = None):
         """sample: (B,H,W,C) latents; timesteps: (B,) or scalar;
         encoder_hidden_states: (B, S, cross_attention_dim). Returns (B,H,W,C).
 
         SDXL micro-conditioning (``addition_embed_dim`` set): ``text_embeds``
         is the (B, addition_pooled_dim) pooled text embedding and ``time_ids``
-        the (B, 6) original-size/crop/target-size scalars."""
+        the (B, 6) original-size/crop/target-size scalars.
+
+        DeepCache-style step caching (``cache_split=s``): the return value
+        becomes ``(eps, deep)`` where ``deep`` is the trunk activation right
+        after ``up_{s}_upsample``.  Passing that tensor back as
+        ``deep_feature`` on a later step runs ONLY the shallow levels
+        (0..s-1 down + up) and splices the cached trunk in — adjacent
+        denoise steps change the deep features slowly, so reusing them
+        trades a small approximation for skipping the mid/deep blocks
+        (Ma et al. 2023, "DeepCache"; cf. PAPERS.md step-coherence line)."""
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -159,15 +170,24 @@ class UNet2DCondition(nn.Module):
                 cfg.block_out_channels[0] * 4, dtype=self.dtype,
                 name="add_embedding")(add.astype(self.dtype))
 
+        if cache_split is not None and not 1 <= cache_split <= n_levels - 1:
+            raise ValueError(f"cache_split must be in [1, {n_levels - 1}]")
+        shallow = deep_feature is not None
+        if shallow and cache_split is None:
+            raise ValueError("deep_feature requires cache_split")
+
         ctx = encoder_hidden_states.astype(self.dtype)
         x = sample.astype(self.dtype)
         x = nn.Conv(cfg.block_out_channels[0], (3, 3),
                     padding=conv_padding(self.tiled), dtype=self.dtype,
                     name="conv_in")(x)
 
-        # ---- down path ----
+        # ---- down path (shallow pass: only levels below the split; the
+        # split-1 downsample feeds only the cached deep trunk, so skip it) --
         skips = [x]
-        for level, ch in enumerate(cfg.block_out_channels):
+        down_levels = cache_split if shallow else n_levels
+        for level in range(down_levels):
+            ch = cfg.block_out_channels[level]
             is_last = level == n_levels - 1
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
@@ -179,26 +199,31 @@ class UNet2DCondition(nn.Module):
                         dtype=self.dtype,
                         name=f"down_{level}_attn_{j}")(x, ctx)
                 skips.append(x)
-            if not is_last:
+            if not is_last and not (shallow and level == cache_split - 1):
                 x = Downsample2D(ch, dtype=self.dtype, tiled=self.tiled,
                                  name=f"down_{level}_downsample")(x)
                 skips.append(x)
 
-        # ---- mid ----
-        mid_ch = cfg.block_out_channels[-1]
-        mid_heads = cfg.heads(n_levels - 1)
-        x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
-                          name="mid_res_0")(x, temb)
-        x = SpatialTransformer(mid_heads, mid_ch // mid_heads,
-                               depth=cfg.depth(n_levels - 1),
-                               dtype=self.dtype, name="mid_attn")(x, ctx)
-        x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
-                          name="mid_res_1")(x, temb)
+        # ---- mid (deep trunk; skipped when reusing the cache) ----
+        if not shallow:
+            mid_ch = cfg.block_out_channels[-1]
+            mid_heads = cfg.heads(n_levels - 1)
+            x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
+                              name="mid_res_0")(x, temb)
+            x = SpatialTransformer(mid_heads, mid_ch // mid_heads,
+                                   depth=cfg.depth(n_levels - 1),
+                                   dtype=self.dtype, name="mid_attn")(x, ctx)
+            x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
+                              name="mid_res_1")(x, temb)
+        else:
+            x = deep_feature.astype(self.dtype)
 
         # ---- up path (mirrored, skip concat) ----
-        for idx, level in enumerate(reversed(range(n_levels))):
+        deep_out = None
+        for level in reversed(range(n_levels)):
+            if shallow and level >= cache_split:
+                continue
             ch = cfg.block_out_channels[level]
-            is_last = idx == n_levels - 1
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
@@ -209,12 +234,19 @@ class UNet2DCondition(nn.Module):
                     x = SpatialTransformer(
                         heads, ch // heads, depth=cfg.depth(level),
                         dtype=self.dtype, name=f"up_{level}_attn_{j}")(x, ctx)
-            if not is_last:
+            if level != 0:
                 x = Upsample2D(ch, dtype=self.dtype, tiled=self.tiled,
                                name=f"up_{level}_upsample")(x)
+            if (cache_split is not None and not shallow
+                    and level == cache_split):
+                deep_out = x  # trunk output entering level split-1
 
         x = GroupNorm32(32, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=conv_padding(self.tiled),
                     dtype=self.dtype, name="conv_out")(x)
-        return x.astype(jnp.float32)
+        eps = x.astype(jnp.float32)
+        if cache_split is None:
+            return eps
+        return eps, (deep_feature.astype(self.dtype) if shallow
+                     else deep_out)

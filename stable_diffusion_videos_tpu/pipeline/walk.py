@@ -50,10 +50,14 @@ class StableDiffusionWalkPipeline:
     def __init__(self, models: SDModels, scheduler: str = "pndm", mesh=None,
                  batch_bucket: Optional[int] = None,
                  embed_interp: str = "lerp", noise_interp: str = "slerp",
-                 rng_impl: str = "torch", safety: bool = False):
+                 rng_impl: str = "torch", safety: bool = False,
+                 step_cache: Optional[int] = None,
+                 step_cache_split: int = 1):
         self.models = models
         self.engine = Engine(models, mesh=mesh, scheduler=scheduler,
-                             batch_bucket=batch_bucket)
+                             batch_bucket=batch_bucket,
+                             step_cache=step_cache,
+                             step_cache_split=step_cache_split)
         self.embed_interp = embed_interp
         self.noise_interp = noise_interp
         self.rng_impl = rng_impl

@@ -45,7 +45,9 @@ class Engine:
                  batch_bucket: Optional[int] = None,
                  debug: Optional[bool] = None,
                  vae_tile: Optional[int] = None, vae_tile_overlap: int = 16,
-                 spatial_shard: bool = False):
+                 spatial_shard: bool = False,
+                 step_cache: Optional[int] = None,
+                 step_cache_split: int = 1):
         self.models = models
         self.mesh = mesh if mesh is not None else make_mesh()
         #: debug=True swaps the fused lax.scan for a per-step python loop so
@@ -75,6 +77,15 @@ class Engine:
         #: fused into the denoise program)
         self.vae_tile = vae_tile
         self.vae_tile_overlap = vae_tile_overlap
+        #: DeepCache-style step caching: recompute the deep UNet trunk only
+        #: every ``step_cache`` steps, splicing the cached trunk into
+        #: shallow-only passes in between (opt-in approximation — adjacent
+        #: denoise steps change deep features slowly).  ``step_cache_split``
+        #: is the resolution level the trunk is cached at.
+        if step_cache is not None and step_cache < 1:
+            raise ValueError("step_cache must be >= 1 (None = off)")
+        self.step_cache = step_cache
+        self.step_cache_split = step_cache_split
         #: sequence/spatial parallelism (SURVEY.md §5.7 stretch): constrain
         #: the latent's W axis onto the mesh `model` axis — XLA SPMD
         #: partitions the convs with halo exchanges and the attention with
@@ -169,24 +180,39 @@ class Engine:
             spatial = NamedSharding(self.mesh, P("data", None, "model", None))
 
         is_xl = self.models.is_xl
+        cache_k = self.step_cache if not self.debug else None
+        cache_split = self.step_cache_split if cache_k else None
 
         def body(params, context, added, guidance, tables, carry, i):
-            lat, st = carry
+            if cache_k:
+                lat, st, deep = carry
+            else:
+                lat, st = carry
             t = sched.timestep(tables, i)
             inp = sched.scale_model_input(tables, st, i, lat)
             inp2 = jnp.concatenate([inp, inp], axis=0)  # CFG 2x batch
             if spatial is not None:
                 inp2 = jax.lax.with_sharding_constraint(inp2, spatial)
             tb = jnp.broadcast_to(t, (inp2.shape[0],))
-            if is_xl:  # text_time micro-conditioning rides along
-                eps = unet.apply(params["unet"], inp2, tb, context,
-                                 added[0], added[1])
+
+            def call_unet(deep_feat):
+                args = (added[0], added[1]) if is_xl else ()
+                return unet.apply(params["unet"], inp2, tb, context, *args,
+                                  cache_split=cache_split,
+                                  deep_feature=deep_feat)
+
+            if cache_k:
+                # full trunk every cache_k steps; shallow splice in between
+                eps, deep = jax.lax.cond(
+                    i % cache_k == 0,
+                    lambda _: call_unet(None),
+                    lambda _: call_unet(deep), None)
             else:
-                eps = unet.apply(params["unet"], inp2, tb, context)
+                eps = call_unet(None)
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps = eps_u + guidance * (eps_c - eps_u)
             st, lat = sched.step(tables, st, i, eps, lat)
-            return (lat, st)
+            return (lat, st, deep) if cache_k else (lat, st)
 
         def decode(params, lat):
             imgs = vae.apply(params["vae"], lat / scale,
@@ -206,11 +232,22 @@ class Engine:
             lat = latents * sched.init_noise_sigma(tables)
             state = sched.init_state(tables, latents.shape, key=key)
             n_loop = sched.num_loop_steps(tables)
-            (lat, _), _ = jax.lax.scan(
+            carry = (lat, state)
+            if cache_k:
+                ucfg = self.models.unet_config
+                f = 2 ** (cache_split - 1)
+                deep0 = jnp.zeros(
+                    (2 * latents.shape[0], latents.shape[1] // f,
+                     latents.shape[2] // f,
+                     ucfg.block_out_channels[cache_split]),
+                    self.models.dtype)
+                carry = (lat, state, deep0)
+            carry, _ = jax.lax.scan(
                 lambda c, i: (body(params, context, added, guidance, tables,
                                    c, i),
                               None),
-                (lat, state), jnp.arange(n_loop))
+                carry, jnp.arange(n_loop))
+            lat = carry[0]
             if tiled_vae:
                 return lat  # host drives tiled decode (decode_latents_tiled)
             return decode(params, lat)
