@@ -27,16 +27,22 @@ def _add_common(ap):
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--negative-prompt", default=None)
+    ap.add_argument("--step-cache", type=int, default=None, metavar="K",
+                    help="DeepCache acceleration: recompute the deep UNet "
+                         "trunk every K steps (approximate; ~1.4-1.7x at "
+                         "K=2-3, see docs/performance.md)")
 
 
 def _pipeline(args):
     from .pipeline import StableDiffusionWalkPipeline
+    kw = dict(scheduler=args.scheduler,
+              step_cache=getattr(args, "step_cache", None))
     if args.checkpoint is None:
         print("no --checkpoint: using random tiny model (smoke mode)",
               file=sys.stderr)
-        return StableDiffusionWalkPipeline.tiny(scheduler=args.scheduler)
+        return StableDiffusionWalkPipeline.tiny(**kw)
     return StableDiffusionWalkPipeline.from_pretrained(
-        args.checkpoint, scheduler=args.scheduler, tiled=args.tiled)
+        args.checkpoint, tiled=args.tiled, **kw)
 
 
 def cmd_walk(args):
