@@ -57,6 +57,10 @@ class UNetConfig:
     #: MLP (SDXL: 1280 from the OpenCLIP-bigG tower)
     addition_pooled_dim: Union[int, None] = flax.struct.field(
         pytree_node=False, default=None)
+    #: number of micro-conditioning scalars: 6 for SDXL-base
+    #: (orig_h, orig_w, crop_t, crop_l, target_h, target_w), 5 for the
+    #: refiner (crop + aesthetic score instead of target size)
+    addition_num_ids: int = flax.struct.field(pytree_node=False, default=6)
 
     def heads(self, level: int) -> int:
         h = self.attention_head_dim

@@ -478,18 +478,22 @@ def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
     vcfg = _vae_config_from_json(_read_json(root / "vae" / "config.json"))
     is_xl = ucfg.addition_embed_dim is not None \
         or (root / "text_encoder_2").exists()
-    tcfg = _text_config_from_json(
-        _read_json(root / "text_encoder" / "config.json"),
-        penultimate=is_xl)
-
+    # the SDXL-refiner ships ONLY the bigG tower (text_encoder_2); its
+    # context comes from that tower alone
+    has_tower1 = (root / "text_encoder").exists()
+    tcfg = None
     params = {
         "unet": _to_jnp(convert_unet(
             load_state_dict(find_weights_file(root / "unet")), ucfg)),
         "vae": _to_jnp(convert_vae(
             load_state_dict(find_weights_file(root / "vae")), vcfg)),
-        "text_encoder": _to_jnp(convert_text_encoder(
-            load_state_dict(find_weights_file(root / "text_encoder")), tcfg)),
     }
+    if has_tower1:
+        tcfg = _text_config_from_json(
+            _read_json(root / "text_encoder" / "config.json"),
+            penultimate=is_xl)
+        params["text_encoder"] = _to_jnp(convert_text_encoder(
+            load_state_dict(find_weights_file(root / "text_encoder")), tcfg))
     tcfg2 = None
     if is_xl:
         # SDXL: OpenCLIP-bigG second tower with projected pooled output
@@ -499,6 +503,16 @@ def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
         params["text_encoder_2"] = _to_jnp(convert_text_encoder(
             load_state_dict(find_weights_file(root / "text_encoder_2")),
             tcfg2))
+        if not has_tower1:  # refiner: tower 2 is the only (and primary) one
+            tcfg = tcfg2
+            params["text_encoder"] = params["text_encoder_2"]
+        # the UNet json gives only pooled+ids as one projection width;
+        # tower 2's projection_dim pins the split (base: 2816-1280=6x256,
+        # refiner: 2560-1280=5x256 — the fifth id is the aesthetic score)
+        proj_in = ucfg.addition_pooled_dim + 6 * ucfg.addition_embed_dim
+        num_ids = (proj_in - tcfg2.projection_dim) // ucfg.addition_embed_dim
+        ucfg = ucfg.replace(addition_pooled_dim=tcfg2.projection_dim,
+                            addition_num_ids=num_ids)
     safety_cfg = None
     if with_safety and (root / "safety_checker").exists():
         safety_cfg = SafetyConfig.sd_v1()
@@ -506,7 +520,14 @@ def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
             load_state_dict(find_weights_file(root / "safety_checker")),
             safety_cfg))
 
+    if tcfg is None:
+        raise FileNotFoundError(f"{root} has no text_encoder/ (and no "
+                                "text_encoder_2/ to fall back on)")
+
     tok_dir = root / "tokenizer"
+    if not (tok_dir / "vocab.json").exists() \
+            and (root / "tokenizer_2" / "vocab.json").exists():
+        tok_dir = root / "tokenizer_2"  # refiner layout
     tokenizer = CLIPBPETokenizer(tok_dir / "vocab.json",
                                  tok_dir / "merges.txt")
     tokenizer_2 = None

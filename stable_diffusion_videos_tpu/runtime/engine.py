@@ -124,9 +124,18 @@ class Engine:
             enc2 = self.models.text_encoder_2()
             rep = replicated(self.mesh)
             if enc2 is not None:
+                # dual-tower concat only when the UNet context is sized for
+                # it (SDXL-base: 768+1280=2048); the refiner conditions on
+                # the bigG tower alone (cross_attention_dim=1280)
+                dual = (self.models.unet_config.cross_attention_dim
+                        == self.models.text_config.hidden_size
+                        + self.models.text_config_2.hidden_size)
+
                 def fn(p, p2, ids, ids2):
-                    h1, _ = enc.apply(p, ids)
                     h2, pooled = enc2.apply(p2, ids2)
+                    if not dual:
+                        return h2.astype(jnp.float32), pooled
+                    h1, _ = enc.apply(p, ids)
                     return jnp.concatenate(
                         [h1.astype(jnp.float32), h2.astype(jnp.float32)],
                         axis=-1), pooled
@@ -315,9 +324,15 @@ class Engine:
             uncond_pooled = jnp.broadcast_to(uncond_pooled,
                                              (B,) + uncond_pooled.shape[1:])
         f = self.models.vae_scale_factor
-        tids = jnp.broadcast_to(
-            jnp.asarray([h * f, w * f, 0, 0, h * f, w * f], jnp.float32),
-            (2 * Bp, 6))
+        uc = self.models.unet_config
+        if uc.addition_num_ids == 5:
+            # SDXL-refiner: (orig_h, orig_w, crop_t, crop_l, aesthetic
+            # score); 6.0 is the diffusers default positive score
+            base = [h * f, w * f, 0, 0, 6.0]
+        else:
+            base = [h * f, w * f, 0, 0, h * f, w * f]
+        tids = jnp.broadcast_to(jnp.asarray(base, jnp.float32),
+                                (2 * Bp, uc.addition_num_ids))
         bs = batch_sharding(self.mesh)
         added = (jax.device_put(
             jnp.concatenate([pad(uncond_pooled), pad(pooled)], axis=0), bs),

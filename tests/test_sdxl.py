@@ -427,6 +427,88 @@ def test_xl_generate_images(tmp_path, xl_pipe):
     assert all(Path(p).stat().st_size > 100 for p in paths)
 
 
+def test_load_sdxl_refiner_layout(tmp_path):
+    """The SDXL-refiner ships only the bigG tower and conditions on 5
+    time_ids (aesthetic score instead of target size); the loader derives
+    the pooled/num_ids split from tower 2's projection_dim and falls back
+    to tokenizer_2/ for the vocab."""
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    import stable_diffusion_videos_tpu.models.weights as W
+    from stable_diffusion_videos_tpu.models.unet import UNetConfig
+    from stable_diffusion_videos_tpu.models.vae import (AutoencoderKL,
+                                                        VAEConfig)
+
+    # tiny refiner-flavoured geometry: single 16-wide tower IS the context
+    ucfg = UNetConfig(sample_size=8, block_out_channels=(32, 64),
+                      layers_per_block=1, cross_attention_dim=16,
+                      attention_head_dim=2, attn_levels=(False, True),
+                      transformer_depth=(0, 2),
+                      addition_embed_dim=8, addition_pooled_dim=16,
+                      addition_num_ids=5)
+    tcfg2 = CLIPTextConfig(vocab_size=1000, hidden_size=16,
+                           intermediate_size=32, num_layers=2, num_heads=2,
+                           penultimate_hidden=True, projection_dim=16)
+    vcfg = VAEConfig.tiny()
+    m = UNet2DCondition(ucfg)
+    lat = jnp.zeros((1, 8, 8, 4))
+    up = m.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)),
+                jnp.zeros((1, 7, 16)), jnp.zeros((1, 16)),
+                jnp.zeros((1, 5)))
+    enc2 = CLIPTextEncoder(tcfg2)
+    tp2 = enc2.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))
+    vae = AutoencoderKL(vcfg)
+    vp = vae.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
+
+    root = tmp_path / "refiner"
+    for sub in ("unet", "vae", "text_encoder_2", "tokenizer_2", "scheduler"):
+        (root / sub).mkdir(parents=True)
+
+    def save(sub, sd, cfg_json):
+        save_file({k: np.ascontiguousarray(v, np.float32)
+                   for k, v in sd.items()},
+                  str(root / sub / "model.safetensors"))
+        (root / sub / "config.json").write_text(_json.dumps(cfg_json))
+
+    save("unet", W.export_unet(up, ucfg), {
+        "sample_size": 8, "in_channels": 4, "out_channels": 4,
+        "block_out_channels": [32, 64], "layers_per_block": 1,
+        "cross_attention_dim": 16, "attention_head_dim": [2, 2],
+        "transformer_layers_per_block": [0, 2],
+        "addition_embed_type": "text_time", "addition_time_embed_dim": 8,
+        # refiner-style projection width: pooled 16 + 5 x 8
+        "projection_class_embeddings_input_dim": 16 + 5 * 8,
+        "down_block_types": ["DownBlock2D", "CrossAttnDownBlock2D"],
+    })
+    save("vae", W.export_vae(vp, vcfg),
+         {"block_out_channels": [32, 64], "layers_per_block": 1})
+    save("text_encoder_2", W.export_text_encoder(tp2, tcfg2), {
+        "vocab_size": 1000, "hidden_size": 16, "intermediate_size": 32,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "hidden_act": "gelu", "projection_dim": 16})
+    (root / "scheduler" / "scheduler_config.json").write_text("{}")
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1, "a</w>": 2}
+    (root / "tokenizer_2" / "vocab.json").write_text(_json.dumps(vocab))
+    (root / "tokenizer_2" / "merges.txt").write_text("#version: 0.2\n")
+
+    models = SDModels.from_pretrained(str(root), dtype=jnp.float32,
+                                      with_safety=False)
+    assert models.is_xl
+    assert models.unet_config.addition_num_ids == 5
+    assert models.unet_config.addition_pooled_dim == 16
+    assert models.text_config == models.text_config_2  # tower 2 is primary
+
+    from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
+    pipe = StableDiffusionWalkPipeline(models, scheduler="ddim")
+    # refiner's real job: img2img over a base-model frame
+    img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+    out = pipe.img2img(img, "a", strength=0.3, num_inference_steps=4,
+                       output_type="np")
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()
+
+
 def test_xl_img2img_and_inpaint(xl_pipe):
     size = xl_pipe.models.default_size
     img = np.random.default_rng(0).random((size, size, 3)).astype(np.float32)

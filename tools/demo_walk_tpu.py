@@ -73,11 +73,23 @@ def main():
     models = SDModels(ucfg, vcfg, tcfg, params,
                       HashTokenizer(vocab_size=tcfg.vocab_size),
                       SchedulerConfig(), dtype=dtype)
+
+    # argv: [steps_per_clip] [n_prompts] [batch] [step_cache] [tag]
+    argv = sys.argv[1:]
+    steps_per_clip = int(argv[0]) if len(argv) > 0 else 24
+    n_prompts = int(argv[1]) if len(argv) > 1 else 2
+    batch = int(argv[2]) if len(argv) > 2 else 16
+    step_cache = (int(argv[3]) or None) if len(argv) > 3 else None
+    tag = argv[4] if len(argv) > 4 else "r02"
+    n_frames = steps_per_clip * (n_prompts - 1)
+
     pipe = StableDiffusionWalkPipeline(models, scheduler="pndm",
-                                       batch_bucket=16)
+                                       batch_bucket=batch,
+                                       step_cache=step_cache)
 
     # click track: onsets every 0.5 s -> frames bunch on beats
-    sr, dur = 22050, 2.0
+    fps = 12
+    sr, dur = 22050, n_frames / fps
     t = np.arange(int(sr * dur)) / sr
     clicks = np.zeros_like(t)
     for beat in np.arange(0.25, dur, 0.5):
@@ -87,29 +99,33 @@ def main():
     wav = "/tmp/demo_click.wav"
     save_wav(wav, clicks.astype(np.float32), sr)
 
+    all_prompts = ["a cathedral of ice", "a forest of neon",
+                   "a desert of glass", "an ocean of clouds",
+                   "a city of brass"]
     outdir = "/tmp/demo_walk"
     t0 = time.perf_counter()
     video = pipe.walk(
-        prompts=["a cathedral of ice", "a forest of neon"],
-        seeds=[42, 1337],
-        num_interpolation_steps=24,
-        audio_filepath=wav, audio_start_sec=0, fps=12,
-        batch_size=16, num_inference_steps=50,
-        output_dir=outdir, name="demo512")
+        prompts=all_prompts[:n_prompts],
+        seeds=list(range(42, 42 + n_prompts)),
+        num_interpolation_steps=steps_per_clip,
+        audio_filepath=wav, audio_start_sec=0, fps=fps,
+        batch_size=batch, num_inference_steps=50,
+        output_dir=outdir, name=f"demo512_{tag}")
     wall = time.perf_counter() - t0
 
     summary = pipe.timer.summary()
     size = os.path.getsize(video)
     result = {
         "video": video, "bytes": size, "wall_s": round(wall, 1),
-        "frames": 24, "config": "512^2, 50 steps PNDM CFG, batch 16, "
-                                "audio-reactive schedule, random bf16 "
-                                "weights",
-        "frames_per_sec_e2e": round(24 / wall, 3),
+        "frames": n_frames,
+        "config": f"512^2, 50 steps PNDM CFG, batch {batch}, "
+                  f"{n_prompts} prompts, audio-reactive schedule, "
+                  f"step_cache={step_cache}, random bf16 weights",
+        "frames_per_sec_e2e": round(n_frames / wall, 3),
         "stage_summary": summary,
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "demo_walk_r02.json")
+                       f"demo_walk_{tag}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
