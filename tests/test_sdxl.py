@@ -509,6 +509,22 @@ def test_load_sdxl_refiner_layout(tmp_path):
     assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()
 
 
+def test_xl_on_tp_mesh():
+    """SDXL bundle on a data x model (TP) mesh: tower-2 params shard or
+    replicate cleanly and the pooled-conditioned program executes."""
+    from stable_diffusion_videos_tpu.parallel.mesh import make_mesh
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    mesh = make_mesh(data=4, model=2)
+    eng = Engine(SDModels.tiny_xl(), mesh=mesh, scheduler="ddim")
+    cond = jnp.zeros((4, 77, 32))
+    noise = jnp.zeros((4, 8, 8, 4))
+    pooled = jnp.zeros((4, 16))
+    out = eng.denoise_frames(cond, cond, noise, num_inference_steps=2,
+                             pooled=pooled, uncond_pooled=pooled[:1])
+    assert out.shape[0] == 4
+    assert eng.embed_text("hello").shape == (1, 77, 32)
+
+
 def test_xl_img2img_and_inpaint(xl_pipe):
     size = xl_pipe.models.default_size
     img = np.random.default_rng(0).random((size, size, 3)).astype(np.float32)

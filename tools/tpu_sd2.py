@@ -29,7 +29,7 @@ import numpy as np  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "profile2_r02.json")
-STEPS, SIDE, BATCH = 50, 512, 8
+STEPS, SIDE, BATCH = 50, 512, int(sys.argv[1]) if len(sys.argv) > 1 else 8
 UNET_FLOP_512 = 0.34e12  # SD2-base is within a few % of SD1.x FLOPs
 VAE_FLOP_512 = 1.4e12
 
@@ -107,6 +107,7 @@ def main():
 
     with open(OUT) as f:
         allr = json.load(f)
+    allr.setdefault("sd2_batches", {})[f"b{BATCH}"] = entry
     allr["sd2"] = entry
     with open(OUT, "w") as f:
         json.dump(allr, f, indent=1)
