@@ -30,7 +30,7 @@ import numpy as np  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "profile2_r02.json")
-STEPS, SIDE, BATCH = 50, 512, 8
+STEPS, SIDE, BATCH = 50, 512, int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
 
 def sync(x):
@@ -117,7 +117,8 @@ def main():
 
     with open(OUT) as f:
         allr = json.load(f)
-    allr["step_cache"] = results
+    allr.setdefault("step_cache_batches", {})[f"b{BATCH}"] = results
+    allr["step_cache"] = allr.get("step_cache") or results
     with open(OUT, "w") as f:
         json.dump(allr, f, indent=1)
 
