@@ -509,6 +509,22 @@ def test_load_sdxl_refiner_layout(tmp_path):
     assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()
 
 
+def test_example_sdxl_walk_smoke(tmp_path, monkeypatch):
+    """Drive examples/sdxl_walk.py's base path on the tiny XL bundle."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import sdxl_walk
+
+    monkeypatch.setattr(sys, "argv", [
+        "sdxl_walk.py", "--steps", "2", "--num-inference-steps", "3",
+        "--batch-size", "2", "--output-dir", str(tmp_path),
+        "--name", "xl_ex", "--fps", "5"])
+    sdxl_walk.main()
+    vids = list((tmp_path / "xl_ex").glob("xl_ex.*"))
+    assert vids and vids[0].stat().st_size > 1000
+
+
 def test_xl_on_tp_mesh():
     """SDXL bundle on a data x model (TP) mesh: tower-2 params shard or
     replicate cleanly and the pooled-conditioned program executes."""
