@@ -3,9 +3,10 @@
 
 Steps: (1) upload/slice audio, (2) preview the audio-reactive interpolation
 curve T (matplotlib), (3) pick endpoint prompts + seeds by generating preview
-images, (4) render the clip.  The youtube-dl fetch of the reference
-(``run_music_video_app.py:36-54``) is omitted — no network egress; upload a
-local WAV instead.
+images, (4) render the clip.  The reference's youtube-dl fetch
+(``run_music_video_app.py:36-54``) exists as ``download_audio_clip`` —
+gated on yt-dlp/youtube-dl being importable (this build env has no
+egress); otherwise upload a local WAV.
 
 Usage: python examples/run_music_video_app.py [--checkpoint DIR | --tiny]
 """
@@ -15,6 +16,28 @@ import tempfile
 from pathlib import Path
 
 import numpy as np
+
+
+def download_audio_clip(url: str, out_dir=None) -> str:
+    """Fetch a clip's audio track via yt-dlp (or legacy youtube_dl) —
+    the reference's ``download_example_clip``; raises a clear error when
+    neither downloader is installed or the network is unreachable."""
+    try:
+        import yt_dlp as ydl_mod
+    except ImportError:
+        try:
+            import youtube_dl as ydl_mod
+        except ImportError as e:
+            raise RuntimeError(
+                "audio URL fetch needs yt-dlp (pip install yt-dlp) — not "
+                "installed in this environment; upload a local WAV instead"
+            ) from e
+    out_dir = Path(out_dir or tempfile.mkdtemp())
+    opts = {"format": "bestaudio/best",
+            "outtmpl": str(out_dir / "%(id)s.%(ext)s"), "quiet": True}
+    with ydl_mod.YoutubeDL(opts) as ydl:
+        info = ydl.extract_info(url, download=True)
+    return str(out_dir / f"{info['id']}.{info['ext']}")
 
 
 def build_app(pipeline):
@@ -69,6 +92,20 @@ def build_app(pipeline):
     with gr.Blocks(title="TPU music video wizard") as demo:
         gr.Markdown("## 1 — audio")
         audio_in = gr.Audio(type="filepath", label="WAV file")
+        with gr.Row():
+            url_in = gr.Textbox(label="...or fetch audio from a URL "
+                                      "(needs yt-dlp installed)")
+            fetch_btn = gr.Button("Fetch")
+
+        def on_fetch(url):
+            if not url:
+                raise gr.Error("enter a URL")
+            try:
+                return download_audio_clip(url)
+            except Exception as e:  # surfaced in the UI
+                raise gr.Error(str(e))
+
+        fetch_btn.click(on_fetch, [url_in], [audio_in])
         with gr.Row():
             start_sec = gr.Number(0.0, label="start (s)")
             duration = gr.Number(5.0, label="duration (s)")
