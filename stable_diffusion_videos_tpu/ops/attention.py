@@ -72,8 +72,17 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     backend = _resolve_backend(q.shape[1], q.shape[-1])
     if backend == "flash":
         from .flash_attention import flash_attention
-        return flash_attention(q, k, v, scale=scale,
-                               tile_k=min(k.shape[1], 1024))
+        sq, sk = q.shape[1], k.shape[1]
+        if sq >= 8192:
+            # high-res tiles (tools/profile2_r02.json "flash_highres"):
+            # q512/k1024 at S=9216 (+15% over the S=4096-tuned default),
+            # q512/k2048 at S=16384 (+32%); tk must divide Sk or the
+            # kernel falls back to XLA
+            tq = 512
+            tk = 2048 if sk % 2048 == 0 else 1024
+        else:
+            tq, tk = 256, min(sk, 1024)
+        return flash_attention(q, k, v, scale=scale, tile_q=tq, tile_k=tk)
     return xla_attention(q, k, v, scale=scale)
 
 
