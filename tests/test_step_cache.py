@@ -123,6 +123,27 @@ def test_engine_step_cache_2_close_but_faster_graph(models):
     assert rel < 0.5
 
 
+def test_engine_step_cache_with_sdxl():
+    """Step caching composes with SDXL's text_time conditioning (the
+    added conds ride through both cond branches)."""
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    models = SDModels.tiny_xl()
+    rng = np.random.default_rng(5)
+    cond = jnp.asarray(rng.standard_normal((2, 7, 32)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+
+    def run(k):
+        eng = Engine(models, scheduler="ddim", step_cache=k)
+        return eng.denoise_frames(cond, cond[:1], noise,
+                                  num_inference_steps=4, pooled=pooled,
+                                  uncond_pooled=pooled[:1])
+    exact, k1, k2 = run(None), run(1), run(2)
+    np.testing.assert_allclose(k1, exact, atol=1e-5, rtol=1e-5)
+    assert np.isfinite(k2).all() and not np.array_equal(k2, exact)
+
+
 def test_pipeline_walk_with_step_cache(tmp_path):
     from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
     pipe = StableDiffusionWalkPipeline.tiny(step_cache=2)
