@@ -93,6 +93,7 @@ class Engine:
         self.spatial_shard = spatial_shard and self.mesh.shape.get(
             "model", 1) > 1
         self._tile_decode_fn = None
+        self._encode_fn = None
         self._compiled: dict[tuple, Any] = {}
         self._tables_cache: dict[tuple, Any] = {}
         self._cache_lock = threading.Lock()  # server threads share an engine
@@ -693,12 +694,64 @@ class Engine:
                        out_shardings=bs)
 
     def encode_image(self, images) -> jax.Array:
-        """(B,H,W,3) in [-1,1] -> scaled latents for img2img."""
-        vae = self.models.vae()
-        mean, _ = vae.apply(self._params["vae"],
-                            jnp.asarray(images, jnp.float32),
-                            method=type(vae).encode)
-        return mean * self.models.vae_config.scaling_factor
+        """(B,H,W,3) in [-1,1] -> scaled latents for img2img.
+
+        With ``vae_tile`` set and an image larger than one tile, encoding
+        runs in the same overlapping tiles as the decode path (mirror of
+        ``decode_latents_tiled``), with linear seam blending in latent
+        space — so img2img/inpaint at >512² stay within HBM end to end."""
+        images = jnp.asarray(images, jnp.float32)
+        f = self.models.vae_scale_factor
+        tile = self.vae_tile
+        if tile is None or (images.shape[1] <= tile * f
+                            and images.shape[2] <= tile * f):
+            return self._encode_whole(images)
+
+        ov = self.vae_tile_overlap
+        b, H, W, _ = images.shape
+        h, w = H // f, W // f
+        stride = tile - ov
+        out = np.zeros((b, h, w, self.models.unet_config.in_channels),
+                       np.float32)
+        weight = np.zeros((1, h, w, 1), np.float32)
+
+        def ramp(n, lo, hi):
+            r = np.ones(n, np.float32)
+            if lo:
+                r[:ov] = np.linspace(0, 1, ov, endpoint=False)
+            if hi:
+                r[-ov:] = np.linspace(1, 0, ov)
+            return r
+
+        def positions(dim):
+            pos = list(range(0, max(dim - tile, 0) + 1, stride))
+            if pos[-1] != dim - tile:
+                pos.append(dim - tile)
+            return pos
+
+        for y0 in positions(h):
+            for x0 in positions(w):
+                y1, x1 = y0 + tile, x0 + tile
+                px = images[:, y0 * f:y1 * f, x0 * f:x1 * f]
+                z = np.asarray(self._encode_whole(px))
+                ry = ramp(tile, y0 > 0, y1 < h)
+                rx = ramp(tile, x0 > 0, x1 < w)
+                wmap = (ry[:, None] * rx[None, :])[None, :, :, None]
+                out[:, y0:y1, x0:x1] += z * wmap
+                weight[:, y0:y1, x0:x1] += wmap
+        return jnp.asarray(out / np.maximum(weight, 1e-8))
+
+    def _encode_whole(self, images) -> jax.Array:
+        if self._encode_fn is None:
+            vae = self.models.vae()
+            scale = self.models.vae_config.scaling_factor
+
+            def enc(params, img):
+                mean, _ = vae.apply(params["vae"], img,
+                                    method=AutoencoderKL.encode)
+                return mean * scale
+            self._encode_fn = jax.jit(enc)
+        return self._encode_fn(self._params, images)
 
     # ------------------------------------------------------------------
     # safety checker
