@@ -92,3 +92,36 @@ def test_auto_backend_routing():
         assert A._resolve_backend(77, 64) == "flash"
     finally:
         A.set_attention_backend("auto")
+
+
+def test_highres_tile_policy(monkeypatch):
+    """attention() picks swept tiles by sequence length (S>=8192: q512,
+    k2048 when it divides Sk, else k1024) and the S=4096-tuned default
+    otherwise — pins the measured policy from profile2_r02.json."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    attn_mod = importlib.import_module(
+        "stable_diffusion_videos_tpu.ops.attention")
+    import stable_diffusion_videos_tpu.ops.flash_attention as fa
+
+    seen = {}
+
+    def spy(q, k, v, scale=None, tile_q=None, tile_k=None, **kw):
+        seen["tiles"] = (tile_q, tile_k)
+        return q
+
+    monkeypatch.setattr(fa, "flash_attention", spy)
+    monkeypatch.setattr(attn_mod, "_BACKEND", "flash")
+
+    def run(sq, sk):
+        q = jnp.zeros((1, sq, 1, 40), jnp.bfloat16)
+        kv = jnp.zeros((1, sk, 1, 40), jnp.bfloat16)
+        attn_mod.attention(q, kv, kv)
+        return seen["tiles"]
+
+    assert run(16384, 16384) == (512, 2048)
+    assert run(9216, 9216) == (512, 1024)   # 9216 % 2048 != 0
+    assert run(4096, 4096) == (256, 1024)   # the S=4096-tuned default
+    assert run(4096, 77) == (256, 77)
