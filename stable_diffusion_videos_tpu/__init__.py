@@ -15,7 +15,7 @@ from __future__ import annotations
 import importlib
 import os
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 # public name -> "module:attr"
 _EXPORTS = {

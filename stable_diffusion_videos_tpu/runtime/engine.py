@@ -328,12 +328,17 @@ class Engine:
         uc = self.models.unet_config
         if uc.addition_num_ids == 5:
             # SDXL-refiner: (orig_h, orig_w, crop_t, crop_l, aesthetic
-            # score); 6.0 is the diffusers default positive score
-            base = [h * f, w * f, 0, 0, 6.0]
+            # score); per CFG half like upstream — 2.5 (negative aesthetic
+            # score) for the uncond rows, 6.0 for the cond rows
+            neg = jnp.asarray([h * f, w * f, 0, 0, 2.5], jnp.float32)
+            pos = jnp.asarray([h * f, w * f, 0, 0, 6.0], jnp.float32)
+            tids = jnp.concatenate([
+                jnp.broadcast_to(neg, (Bp, 5)),
+                jnp.broadcast_to(pos, (Bp, 5))], axis=0)
         else:
             base = [h * f, w * f, 0, 0, h * f, w * f]
-        tids = jnp.broadcast_to(jnp.asarray(base, jnp.float32),
-                                (2 * Bp, uc.addition_num_ids))
+            tids = jnp.broadcast_to(jnp.asarray(base, jnp.float32),
+                                    (2 * Bp, uc.addition_num_ids))
         bs = batch_sharding(self.mesh)
         added = (jax.device_put(
             jnp.concatenate([pad(uncond_pooled), pad(pooled)], axis=0), bs),
@@ -428,15 +433,19 @@ class Engine:
 
         def positions(dim):
             # clamp the final tile back so every tile is exactly `tile` wide
-            # -> a single compiled decode shape
-            pos = list(range(0, max(dim - tile, 0) + 1, stride))
+            # -> a single compiled decode shape; sub-tile axes (non-square
+            # frames) get one whole-axis tile
+            if dim <= tile:
+                return [0]
+            pos = list(range(0, dim - tile + 1, stride))
             if pos[-1] != dim - tile:
                 pos.append(dim - tile)
             return pos
 
+        ty, tx = min(tile, h), min(tile, w)
         for y0 in positions(h):
             for x0 in positions(w):
-                y1, x1 = y0 + tile, x0 + tile
+                y1, x1 = y0 + ty, x0 + tx
                 z = latents[:, y0:y1, x0:x1]
                 img = np.asarray(self._tile_decode_fn(self._params, z))
                 ry = ramp(img.shape[1], y0 > 0, y1 < h)
@@ -459,11 +468,24 @@ class Engine:
         except jax.errors.JaxRuntimeError as e:
             if "RESOURCE_EXHAUSTED" not in str(e) or noise.shape[0] <= 1:
                 raise
-            half = max(1, noise.shape[0] // 2)
+            B = noise.shape[0]
+            half = max(1, B // 2)
             logger.warning("HBM exhausted at batch %d; retrying as %d+%d",
-                           noise.shape[0], half, noise.shape[0] - half)
-            lo = self.denoise_frames(cond[:half], uncond, noise[:half], **kw)
-            hi = self.denoise_frames(cond[half:], uncond, noise[half:], **kw)
+                           B, half, B - half)
+
+            def part(x, sl):
+                # slice batch-aligned arrays (pooled/uncond_pooled for SDXL);
+                # leave scalars, keys and broadcast (1, ...) rows alone
+                if hasattr(x, "shape") and x.ndim >= 2 and x.shape[0] == B:
+                    return x[sl]
+                return x
+
+            kw_lo = {k: part(v, slice(None, half)) for k, v in kw.items()}
+            kw_hi = {k: part(v, slice(half, None)) for k, v in kw.items()}
+            lo = self.denoise_frames(cond[:half], part(uncond, slice(None, half)),
+                                     noise[:half], **kw_lo)
+            hi = self.denoise_frames(cond[half:], part(uncond, slice(half, None)),
+                                     noise[half:], **kw_hi)
             return np.concatenate([lo, hi])
 
     def warmup(self, *, num_inference_steps: int = 50,
@@ -724,18 +746,23 @@ class Engine:
             return r
 
         def positions(dim):
-            pos = list(range(0, max(dim - tile, 0) + 1, stride))
+            # one whole-axis tile when the axis fits (non-square images can
+            # be sub-tile along one axis only)
+            if dim <= tile:
+                return [0]
+            pos = list(range(0, dim - tile + 1, stride))
             if pos[-1] != dim - tile:
                 pos.append(dim - tile)
             return pos
 
+        ty, tx = min(tile, h), min(tile, w)
         for y0 in positions(h):
             for x0 in positions(w):
-                y1, x1 = y0 + tile, x0 + tile
+                y1, x1 = y0 + ty, x0 + tx
                 px = images[:, y0 * f:y1 * f, x0 * f:x1 * f]
                 z = np.asarray(self._encode_whole(px))
-                ry = ramp(tile, y0 > 0, y1 < h)
-                rx = ramp(tile, x0 > 0, x1 < w)
+                ry = ramp(ty, y0 > 0, y1 < h)
+                rx = ramp(tx, x0 > 0, x1 < w)
                 wmap = (ry[:, None] * rx[None, :])[None, :, :, None]
                 out[:, y0:y1, x0:x1] += z * wmap
                 weight[:, y0:y1, x0:x1] += wmap

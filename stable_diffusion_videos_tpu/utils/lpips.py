@@ -56,10 +56,12 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 def _net_spec(net: str):
+    # (convs, taps, torch feature indices, maxpool window): torchvision
+    # AlexNet pools are 3x3/stride-2, VGG16's are 2x2/stride-2
     if net == "alex":
-        return _ALEX_CONVS, _ALEX_TAPS, _ALEX_TORCH_IDX
+        return _ALEX_CONVS, _ALEX_TAPS, _ALEX_TORCH_IDX, 3
     if net == "vgg":
-        return _VGG_CONVS, _VGG_TAPS, _VGG_TORCH_IDX
+        return _VGG_CONVS, _VGG_TAPS, _VGG_TORCH_IDX, 2
     raise ValueError(f"unknown LPIPS backbone {net!r} (alex|vgg)")
 
 
@@ -70,13 +72,13 @@ class LPIPS(nn.Module):
 
     @nn.compact
     def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
-        convs, taps, _ = _net_spec(self.net)
+        convs, taps, _, pk = _net_spec(self.net)
         x = (jnp.concatenate([a, b], axis=0) - _SHIFT) / _SCALE
 
         feats = []
         for i, (ch, k, s, p, pool) in enumerate(convs):
             if pool:
-                x = nn.max_pool(x, (3, 3), strides=(2, 2))
+                x = nn.max_pool(x, (pk, pk), strides=(2, 2))
             x = nn.Conv(ch, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
                         name=f"conv{i}")(x)
             x = nn.relu(x)
@@ -113,7 +115,7 @@ def convert_lpips_torch(state: dict[str, Any], net: str = "alex") -> dict:
             k = "features." + k.split(".", 2)[2]
         norm[k] = v
 
-    convs, taps, torch_idx = _net_spec(net)
+    convs, taps, torch_idx, _pk = _net_spec(net)
     params: dict[str, Any] = {}
     for i, ti in enumerate(torch_idx):
         w = arr(norm[f"features.{ti}.weight"])  # (O,I,kh,kw)

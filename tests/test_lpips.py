@@ -35,8 +35,10 @@ _VGG = dict(
     pool_before=[False, False, True, False, True, False, False, True,
                  False, False, True, False, False],
     taps=[1, 3, 6, 9, 12],  # relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+    pool_k=2,  # torchvision VGG16: MaxPool2d(kernel_size=2, stride=2)
 )
 _ALEX["taps"] = [0, 1, 2, 3, 4]
+_ALEX["pool_k"] = 3  # torchvision AlexNet: MaxPool2d(kernel_size=3, stride=2)
 
 
 def _random_state(spec, rng):
@@ -63,7 +65,7 @@ def _torch_lpips(a, b, state, spec):
     feats = []
     for i, ti in enumerate(spec["idx"]):
         if spec["pool_before"][i]:
-            x = F.max_pool2d(x, 3, stride=2)
+            x = F.max_pool2d(x, spec["pool_k"], stride=2)
         x = F.conv2d(x, state[f"features.{ti}.weight"],
                      state[f"features.{ti}.bias"],
                      stride=spec["stride"][i], padding=spec["pad"][i])
