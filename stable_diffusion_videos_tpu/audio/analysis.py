@@ -20,6 +20,7 @@ DSP per clip and runs fully overlapped with device compute.
 
 from __future__ import annotations
 
+import os
 
 import numpy as np
 from scipy import signal as _sig
@@ -35,13 +36,23 @@ DEFAULT_SR = 22050
 
 def load_audio(path, sr: int = DEFAULT_SR, offset: float = 0.0,
                duration: float | None = None, mono: bool = True):
-    """Load a WAV file, slice ``[offset, offset+duration]``, resample to ``sr``.
+    """Load an audio file, slice ``[offset, offset+duration]``, resample to
+    ``sr``.  Returns ``(y, sr)`` with ``y`` float32 in [-1, 1].
 
-    Equivalent of ``librosa.load`` for WAV input (the only decoder available
-    in this environment — no libsndfile/audioread).  Returns ``(y, sr)`` with
-    ``y`` float32 in [-1, 1].
+    Equivalent of ``librosa.load`` (reference ``utils.py:13`` accepts any
+    audioread-decodable format).  Decode ladder, mirroring the video
+    layer's backend ladder (``media/video.py``):
+
+    1. WAV via scipy (always available, no subprocess);
+    2. any other format (mp3/m4a/ogg/flac/...) via an ``ffmpeg``
+       subprocess decoding straight to raw float32 PCM when a binary is
+       on PATH;
+    3. AIFF via the stdlib as a last resort;
+    4. otherwise a clear error naming the options.
     """
     path = str(path)
+    if not _looks_like_wav(path):
+        return _load_audio_ffmpeg(path, sr, offset, duration, mono)
     native_sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         y = data.astype(np.float32) / 32768.0
@@ -62,6 +73,90 @@ def load_audio(path, sr: int = DEFAULT_SR, offset: float = 0.0,
         g = np.gcd(int(sr), int(native_sr))
         y = _sig.resample_poly(y, sr // g, native_sr // g)
     return y.astype(np.float32), sr
+
+
+def _looks_like_wav(path: str) -> bool:
+    """RIFF/WAVE magic sniff (extension-agnostic, like librosa)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+        return head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+    except OSError:
+        return False
+
+
+def _load_audio_ffmpeg(path: str, sr: int, offset: float,
+                       duration: float | None, mono: bool):
+    """Non-WAV decode: ffmpeg subprocess -> raw f32le PCM on stdout.
+
+    ffmpeg does the demux/decode/resample/downmix in one pass (same
+    process-pipe pattern as the video layer's encoder,
+    ``media/video.py``); slicing uses input-side ``-ss`` so long files
+    seek instead of decoding from zero.
+    """
+    import shutil as _shutil
+    import subprocess
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    ffmpeg = _shutil.which("ffmpeg")
+    if ffmpeg is None:
+        if path.lower().endswith((".aif", ".aiff", ".aifc")):
+            return _load_audio_aiff(path, sr, offset, duration, mono)
+        raise RuntimeError(
+            f"{path!r} is not a WAV file and no `ffmpeg` binary is on PATH "
+            "to decode it. Install ffmpeg, or convert the file to WAV "
+            "(e.g. `ffmpeg -i song.mp3 song.wav`) on a machine that has it.")
+    cmd = [ffmpeg, "-v", "error"]
+    if offset:
+        cmd += ["-ss", f"{offset:.6f}"]
+    cmd += ["-i", path]
+    if duration is not None:
+        cmd += ["-t", f"{duration:.6f}"]
+    cmd += ["-f", "f32le", "-acodec", "pcm_f32le", "-ar", str(int(sr)),
+            "-ac", "1" if mono else "2", "-"]
+    proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                          stderr=subprocess.PIPE)
+    if proc.returncode != 0 or not proc.stdout:
+        raise RuntimeError(
+            f"ffmpeg failed to decode {path!r}: "
+            f"{proc.stderr.decode(errors='replace').strip()}")
+    y = np.frombuffer(proc.stdout, np.float32)
+    if not mono:
+        y = y.reshape(-1, 2)
+    return y.astype(np.float32), sr
+
+
+def _load_audio_aiff(path: str, sr: int, offset: float,
+                     duration: float | None, mono: bool):
+    """Stdlib AIFF decode (big-endian PCM) for ffmpeg-less environments."""
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+    with aifc.open(path, "rb") as f:
+        native_sr = f.getframerate()
+        n_ch = f.getnchannels()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    dt = {1: np.int8, 2: np.dtype(">i2"), 4: np.dtype(">i4")}.get(width)
+    if dt is None:
+        raise RuntimeError(f"unsupported AIFF sample width {width}")
+    y = np.frombuffer(raw, dt).astype(np.float32)
+    y /= float(2 ** (8 * width - 1))
+    if n_ch > 1:
+        y = y.reshape(-1, n_ch)
+        if mono:
+            y = y.mean(axis=1)
+    start = int(round(offset * native_sr))
+    if duration is not None:
+        y = y[start:start + int(round(duration * native_sr))]
+    else:
+        y = y[start:]
+    if native_sr != sr:
+        g = np.gcd(int(sr), int(native_sr))
+        y = _sig.resample_poly(y, sr // g, native_sr // g, axis=0)
+    return np.ascontiguousarray(y, np.float32), sr
 
 
 def save_wav(path, y: np.ndarray, sr: int = DEFAULT_SR):

@@ -100,3 +100,87 @@ def test_get_timesteps_arr_smooth_blends_to_linear(click_wav):
     path, _, _ = click_wav
     T = A.get_timesteps_arr(path, offset=0.0, duration=1.0, fps=30, smooth=1.0)
     np.testing.assert_allclose(T, np.linspace(0, 1, 30), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# non-WAV decode ladder (mp3/m4a/ogg via ffmpeg; AIFF via stdlib)
+# ---------------------------------------------------------------------------
+def _fake_ffmpeg(tmp_path, pcm: np.ndarray):
+    """A stand-in `ffmpeg` executable: logs its argv and writes the given
+    float32 PCM to stdout (the env has no real ffmpeg — this validates the
+    subprocess plumbing end to end)."""
+    import stat
+    bindir = tmp_path / "bin"
+    bindir.mkdir(exist_ok=True)
+    pcm_path = tmp_path / "pcm.f32"
+    pcm.astype(np.float32).tofile(pcm_path)
+    log = tmp_path / "argv.log"
+    script = bindir / "ffmpeg"
+    script.write_text(
+        "#!/bin/sh\n"
+        f'echo "$@" > {log}\n'
+        f"cat {pcm_path}\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    return str(bindir), log
+
+
+def test_load_audio_non_wav_uses_ffmpeg(tmp_path, monkeypatch):
+    sr = 8000
+    want = np.linspace(-0.5, 0.5, 4000).astype(np.float32)
+    bindir, log = _fake_ffmpeg(tmp_path, want)
+    monkeypatch.setenv("PATH", bindir + ":" + str(__import__("os").environ["PATH"]))
+    mp3 = tmp_path / "song.mp3"
+    mp3.write_bytes(b"ID3\x04\x00fake-mpeg-frames")  # not RIFF/WAVE
+    y, got_sr = A.load_audio(mp3, sr=sr, offset=1.5, duration=2.0)
+    assert got_sr == sr
+    np.testing.assert_array_equal(y, want)
+    argv = log.read_text()
+    # ffmpeg is asked for input-side seek, bounded duration, f32le mono @ sr
+    for frag in ("-ss 1.5", "-t 2.0", "f32le", "-ar 8000", "-ac 1",
+                 str(mp3)):
+        assert frag in argv, (frag, argv)
+
+
+def test_load_audio_wav_sniff_is_extension_agnostic(click_wav, tmp_path):
+    """A WAV payload behind an .mp3 name decodes via the scipy path."""
+    import shutil
+    path, sr, y = click_wav
+    alias = tmp_path / "mislabeled.mp3"
+    shutil.copy(path, alias)
+    ya, _ = A.load_audio(alias, sr=sr)
+    yw, _ = A.load_audio(path, sr=sr)
+    np.testing.assert_array_equal(ya, yw)
+
+
+def test_load_audio_non_wav_without_ffmpeg_errors(tmp_path, monkeypatch):
+    monkeypatch.setenv("PATH", str(tmp_path))  # no ffmpeg reachable
+    f = tmp_path / "song.ogg"
+    f.write_bytes(b"OggS\x00fake")
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        A.load_audio(f)
+
+
+def test_load_audio_missing_file_errors(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        A.load_audio(tmp_path / "nope.mp3")
+
+
+def test_load_audio_aiff_stdlib(tmp_path, monkeypatch):
+    """AIFF decodes via the stdlib even with no ffmpeg on PATH."""
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+    sr = 11025
+    t = np.arange(sr) / sr
+    y = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = tmp_path / "tone.aiff"
+    with aifc.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes((y * 32767).astype(">i2").tobytes())
+    monkeypatch.setenv("PATH", str(tmp_path))  # force the stdlib branch
+    got, got_sr = A.load_audio(path, sr=sr)
+    assert got_sr == sr
+    np.testing.assert_allclose(got, y, atol=2e-4)
