@@ -55,6 +55,7 @@ def cmd_walk(args):
         output_dir=args.output_dir, name=args.name, fps=args.fps,
         num_inference_steps=args.steps, guidance_scale=args.guidance_scale,
         height=args.height, width=args.width, upsample=args.upsample,
+        upsample_weights=args.upsample_weights,
         batch_size=args.batch_size, resume=args.resume,
         audio_filepath=args.audio, audio_start_sec=args.audio_start_sec,
         margin=args.margin, smooth=args.smooth,
@@ -70,6 +71,7 @@ def cmd_images(args):
         num_batches=args.num_batches, seeds=args.seeds,
         num_inference_steps=args.steps, guidance_scale=args.guidance_scale,
         output_dir=args.output_dir, name=args.name, upsample=args.upsample,
+        upsample_weights=args.upsample_weights,
         height=args.height, width=args.width,
         negative_prompt=args.negative_prompt,
         push_to_hub=args.push_to_hub, repo_id=args.repo_id)
@@ -119,7 +121,7 @@ def cmd_bench(args):
     runpy.run_path(str(bench), run_name="__main__")
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="stable_diffusion_videos_tpu")
     sub = ap.add_subparsers(dest="command", required=True)
 
@@ -132,6 +134,9 @@ def main(argv=None):
     w.add_argument("--name", default=None)
     w.add_argument("--fps", type=int, default=30)
     w.add_argument("--upsample", action="store_true")
+    w.add_argument("--upsample-weights", default=None, metavar="PTH",
+                   help="RealESRGAN_x4plus weights file for --upsample "
+                        "(or set SDV_REALESRGAN)")
     w.add_argument("--resume", action="store_true")
     w.add_argument("--audio", default=None)
     w.add_argument("--audio-start-sec", type=float, default=None)
@@ -147,6 +152,9 @@ def main(argv=None):
     im.add_argument("--output-dir", default="./images")
     im.add_argument("--name", default=None)
     im.add_argument("--upsample", action="store_true")
+    im.add_argument("--upsample-weights", default=None, metavar="PTH",
+                    help="RealESRGAN_x4plus weights file for --upsample "
+                         "(or set SDV_REALESRGAN)")
     im.add_argument("--push-to-hub", action="store_true")
     im.add_argument("--repo-id", default=None)
     im.set_defaults(fn=cmd_images)
@@ -193,8 +201,11 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.set_defaults(fn=cmd_bench)
+    return ap
 
-    args = ap.parse_args(argv)
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
     args.fn(args)
 
 

@@ -343,10 +343,25 @@ def convert_rrdbnet(sd: dict, config) -> dict:
 
 
 def load_realesrgan(path):
-    """RealESRGAN_x4plus.pth -> (RRDBNetConfig, params)."""
+    """RealESRGAN .pth/.safetensors -> (RRDBNetConfig, params).
+
+    The official checkpoints wrap the weights in ``params_ema``/``params``;
+    geometry (num_feat/num_block/num_grow_ch/scale) is inferred from the
+    tensor shapes so x4plus, x2plus and custom RRDBNets all load."""
     from .rrdbnet import RRDBNetConfig
-    sd = load_state_dict(Path(path))
-    cfg = RRDBNetConfig.x4plus()
+    sd = load_state_dict(Path(path))  # unwraps params_ema/params, -> numpy
+    first = sd["conv_first.weight"]
+    grow = sd["body.0.rdb1.conv1.weight"]
+    last = sd["conv_last.weight"]
+    n_block = 1 + max(int(k.split(".")[1]) for k in sd
+                      if k.startswith("body."))
+    cfg = RRDBNetConfig(
+        in_channels=int(first.shape[1]),
+        out_channels=int(last.shape[0]),
+        num_feat=int(first.shape[0]),
+        num_block=n_block,
+        num_grow_ch=int(grow.shape[0]),
+        scale=4 if "conv_up2.weight" in sd else 2)
     return cfg, _to_jnp(convert_rrdbnet(sd, cfg))
 
 

@@ -34,7 +34,8 @@ def generate_images(pipeline, prompt: str, batch_size: int = 1,
                     negative_prompt: Optional[str] = None,
                     push_to_hub: bool = False,
                     repo_id: Optional[str] = None, private: bool = False,
-                    create_pr: bool = False):
+                    create_pr: bool = False,
+                    upsample_weights: Optional[str] = None):
     """Generate ``batch_size * num_batches`` images of one prompt, one seed
     each; write ``{seed}{ext}`` files + ``prompt_config.json``; optionally
     upload the folder to the HF hub.  Returns the list of file paths."""
@@ -63,7 +64,7 @@ def generate_images(pipeline, prompt: str, batch_size: int = 1,
     ), indent=2, sort_keys=True))
 
     if upsample:
-        pipeline._ensure_upsampler()
+        pipeline._ensure_upsampler(upsample_weights)
 
     embed = pipeline.engine.embed_text(prompt)
     uncond = pipeline.engine.embed_text(negative_prompt or "")

@@ -206,11 +206,12 @@ class StableDiffusionWalkPipeline:
                          image_file_ext: str = ".png",
                          T=None, skip: int = 0,
                          negative_prompt: Optional[str] = None,
-                         step: Optional[tuple] = None, frame_sink=None):
+                         step: Optional[tuple] = None, frame_sink=None,
+                         upsample_weights: Optional[str] = None):
         """Generate frames for one prompt-pair clip (reference
         ``make_clip_frames``, ``stable_diffusion_pipeline.py:481-554``)."""
         if upsample:
-            self._ensure_upsampler()
+            self._ensure_upsampler(upsample_weights)
         height = height or self.models.default_size
         width = width or self.models.default_size
         save_path = Path(save_path)
@@ -301,7 +302,8 @@ class StableDiffusionWalkPipeline:
              audio_start_sec: Optional[float] = None, margin: float = 1.0,
              smooth: float = 0.0, negative_prompt: Optional[str] = None,
              make_video: bool = True, params=None,
-             jit: Optional[bool] = None) -> Optional[str]:
+             jit: Optional[bool] = None,
+             upsample_weights: Optional[str] = None) -> Optional[str]:
         """Generate a video walking through prompt/seed pairs — reference
         ``walk()`` (``stable_diffusion_pipeline.py:556-807``), same API and
         output directory layout (clip subdirs + per-clip mp4 + final mp4 +
@@ -335,10 +337,11 @@ class StableDiffusionWalkPipeline:
                     and len(num_interpolation_steps) != len(prompts) - 1):
                 raise ValueError("len(num_interpolation_steps) must be "
                                  "len(prompts) - 1")
-        save_path_root.mkdir(parents=True, exist_ok=True)
-
+        # provision the upsampler BEFORE any filesystem/frame work so a
+        # missing weights file fails in milliseconds, not after a long walk
         if upsample:
-            self._ensure_upsampler()
+            self._ensure_upsampler(upsample_weights)
+        save_path_root.mkdir(parents=True, exist_ok=True)
 
         config_path = save_path_root / "prompt_config.json"
         if resume:
@@ -355,6 +358,9 @@ class StableDiffusionWalkPipeline:
             guidance_scale = data["guidance_scale"]
             eta = data["eta"]
             upsample = data["upsample"]
+            if upsample:
+                self._ensure_upsampler(upsample_weights
+                                       or data.get("upsample_weights"))
             height = data["height"]
             width = data["width"]
             audio_filepath = data["audio_filepath"]
@@ -377,6 +383,7 @@ class StableDiffusionWalkPipeline:
                 num_interpolation_steps=num_interpolation_steps, fps=fps,
                 num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale, eta=eta, upsample=upsample,
+                upsample_weights=upsample_weights,
                 height=height, width=width, audio_filepath=audio_filepath,
                 audio_start_sec=audio_start_sec, margin=margin, smooth=smooth,
                 negative_prompt=negative_prompt,
@@ -586,10 +593,30 @@ class StableDiffusionWalkPipeline:
         return images
 
     # ------------------------------------------------------------------
-    def _ensure_upsampler(self):
-        if self.upsampler is None:
-            from .upsampling import RealESRGANModel
-            self.upsampler = RealESRGANModel.from_pretrained()
+    def _ensure_upsampler(self, weights: Optional[str] = None):
+        """Provision the Real-ESRGAN upsampler BEFORE frame generation
+        starts (fail fast — the reference self-serves weights from the hub,
+        ``upsampling.py:31-41``; this environment has no egress, so weights
+        come from, in order: the ``upsample_weights=`` argument, the
+        ``SDV_REALESRGAN`` env var, or a previously assigned
+        ``pipeline.upsampler``)."""
+        if self.upsampler is not None:
+            return
+        import os
+        weights = weights or os.environ.get("SDV_REALESRGAN")
+        if weights is not None and not Path(weights).exists():
+            raise FileNotFoundError(
+                f"upsample weights not found: {weights!r} (from "
+                "upsample_weights=/--upsample-weights/SDV_REALESRGAN)")
+        from .upsampling import RealESRGANModel
+        if weights is None:
+            raise FileNotFoundError(
+                "upsample=True needs RealESRGAN_x4plus weights: pass "
+                "upsample_weights=/path/to/RealESRGAN_x4plus.pth (CLI: "
+                "--upsample-weights), set SDV_REALESRGAN, or assign "
+                "pipeline.upsampler yourself. (The reference downloads "
+                "them from the hub; no network egress here.)")
+        self.upsampler = RealESRGANModel.from_pretrained(weights)
 
     def __call__(self, *args, **kwargs):
         """Single txt2img dispatch with precomputed embeddings/latents — the

@@ -249,3 +249,100 @@ def test_walk_sd2_flavored_bundle(run_dir):
                       fps=2, output_dir=str(run_dir), name="sd2ish")
     assert Path(video).exists()
     assert _frame_count(video) == 2
+
+
+def _tiny_realesrgan_pth(tmp_path):
+    """Synthesise a tiny RealESRGAN-style checkpoint (official key names,
+    params_ema wrapper) the geometry-inferring loader can consume."""
+    import torch
+
+    from stable_diffusion_videos_tpu.models.rrdbnet import RRDBNetConfig
+    cfg = RRDBNetConfig.tiny()
+    rng = np.random.default_rng(0)
+
+    def conv(o, i):
+        return torch.tensor(rng.standard_normal((o, i, 3, 3),
+                                                np.float32) * 0.05)
+
+    nf, g = cfg.num_feat, cfg.num_grow_ch
+    sd = {"conv_first.weight": conv(nf, 3),
+          "conv_first.bias": torch.zeros(nf)}
+    for name, (o, i) in {"conv_body": (nf, nf), "conv_up1": (nf, nf),
+                         "conv_up2": (nf, nf), "conv_hr": (nf, nf),
+                         "conv_last": (3, nf)}.items():
+        sd[f"{name}.weight"] = conv(o, i)
+        sd[f"{name}.bias"] = torch.zeros(o)
+    for b in range(cfg.num_block):
+        for r in (1, 2, 3):
+            for c in range(1, 6):
+                i = nf + (c - 1) * g
+                o = g if c < 5 else nf
+                sd[f"body.{b}.rdb{r}.conv{c}.weight"] = conv(o, i)
+                sd[f"body.{b}.rdb{r}.conv{c}.bias"] = torch.zeros(o)
+    path = tmp_path / "RealESRGAN_tiny.pth"
+    torch.save({"params_ema": sd}, path)
+    return str(path)
+
+
+def test_walk_upsample_weights_kwarg(pipeline, tmp_path):
+    """walk(upsample=True, upsample_weights=...) provisions the upsampler
+    from the file — the full product path VERDICT r2 flagged as broken."""
+    pytest.importorskip("torch")
+    weights = _tiny_realesrgan_pth(tmp_path)
+    try:
+        pipeline.walk(prompts=["w1", "w2"], seeds=[5, 6],
+                      num_interpolation_steps=2, num_inference_steps=2,
+                      fps=2, output_dir=str(tmp_path / "d"), name="upw",
+                      upsample=True, upsample_weights=weights,
+                      make_video=False)
+        from PIL import Image
+        frame = next((tmp_path / "d" / "upw").glob("**/frame000000.png"))
+        assert Image.open(frame).size == \
+            (4 * pipeline.models.default_size,) * 2
+        # config records the weights for resume
+        import json
+        cfg = json.loads((tmp_path / "d" / "upw"
+                          / "prompt_config.json").read_text())
+        assert cfg["upsample_weights"] == weights
+    finally:
+        pipeline.upsampler = None
+
+
+def test_walk_upsample_env_var(pipeline, tmp_path, monkeypatch):
+    pytest.importorskip("torch")
+    weights = _tiny_realesrgan_pth(tmp_path)
+    monkeypatch.setenv("SDV_REALESRGAN", weights)
+    try:
+        pipeline.walk(prompts=["e1", "e2"], seeds=[7, 8],
+                      num_interpolation_steps=2, num_inference_steps=2,
+                      fps=2, output_dir=str(tmp_path / "d"), name="upe",
+                      upsample=True, make_video=False)
+        assert pipeline.upsampler is not None
+    finally:
+        pipeline.upsampler = None
+
+
+def test_walk_upsample_fails_fast_without_weights(pipeline, tmp_path,
+                                                  monkeypatch):
+    """Missing weights must fail BEFORE any frames/dirs are produced, with
+    an error naming every provisioning option."""
+    monkeypatch.delenv("SDV_REALESRGAN", raising=False)
+    out = tmp_path / "dreams"
+    with pytest.raises(FileNotFoundError, match="SDV_REALESRGAN"):
+        pipeline.walk(prompts=["f1", "f2"], seeds=[1, 2],
+                      num_interpolation_steps=2, num_inference_steps=2,
+                      output_dir=str(out), name="none", upsample=True)
+    assert not (out / "none").exists()  # nothing littered
+    with pytest.raises(FileNotFoundError, match="not found"):
+        pipeline.walk(prompts=["f1", "f2"], seeds=[1, 2],
+                      num_interpolation_steps=2, num_inference_steps=2,
+                      output_dir=str(out), name="none", upsample=True,
+                      upsample_weights=str(tmp_path / "missing.pth"))
+
+
+def test_cli_has_upsample_weights_flag():
+    from stable_diffusion_videos_tpu.__main__ import build_parser
+    ap = build_parser()
+    args = ap.parse_args(["walk", "--prompts", "a", "b", "--seeds", "1", "2",
+                          "--upsample", "--upsample-weights", "/w.pth"])
+    assert args.upsample_weights == "/w.pth"
