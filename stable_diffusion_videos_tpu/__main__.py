@@ -111,7 +111,9 @@ def cmd_compare(args):
 
 def cmd_serve(args):
     from .runtime.server import Server
-    Server(_pipeline(args)).serve_forever(host=args.host, port=args.port)
+    Server(_pipeline(args),
+           output_root=args.output_root).serve_forever(host=args.host,
+                                                       port=args.port)
 
 
 def cmd_bench(args):
@@ -197,6 +199,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="bind address (default loopback; pass 0.0.0.0 "
                           "explicitly to expose on the network)")
     srv.add_argument("--port", type=int, default=8000)
+    srv.add_argument("--output-root", default="./dreams",
+                     help="directory all /walk output is confined under")
     srv.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="run the standard benchmark")

@@ -85,8 +85,24 @@ class Server:
     MAX_STEPS = 200
     MAX_SIDE = 2048
 
+    #: the only /walk body keys forwarded into walk() — anything else is a
+    #: 400 up front, not a TypeError inside the job.  Deliberately absent:
+    #: output_dir (handled separately and confined under output_root),
+    #: params/jit (engine-managed shims), upsample_weights (server
+    #: filesystem path — operator-configured, not caller-controlled).
+    WALK_KWARGS = frozenset({
+        "prompts", "seeds", "num_interpolation_steps", "name",
+        "image_file_ext", "fps", "num_inference_steps", "guidance_scale",
+        "eta", "height", "width", "upsample", "batch_size", "resume",
+        "audio_filepath", "audio_start_sec", "margin", "smooth",
+        "negative_prompt", "make_video", "output_dir",
+    })
+
     def __init__(self, pipeline, max_batch: int = 16,
-                 batch_delay_ms: float = 25.0):
+                 batch_delay_ms: float = 25.0,
+                 output_root: str = "./dreams"):
+        from pathlib import Path
+
         from .batcher import DynamicBatcher
         self.pipeline = pipeline
         self.jobs = JobManager()
@@ -95,7 +111,26 @@ class Server:
         #: one sharded dispatch
         self.batcher = DynamicBatcher(pipeline, max_batch=max_batch,
                                       max_delay_ms=batch_delay_ms)
+        #: all /walk output is confined under this directory
+        self.output_root = Path(output_root).resolve()
         self._httpd = None
+
+    def _confine(self, sub: str | None) -> str:
+        """Resolve a client-supplied output_dir under output_root; reject
+        absolute paths and .. escapes (the raw body previously reached
+        walk(output_dir=...) verbatim — an arbitrary-write primitive)."""
+        from pathlib import Path
+        if sub is None:
+            return str(self.output_root)
+        p = Path(str(sub))
+        if p.is_absolute():
+            raise ValueError("output_dir must be relative (it is created "
+                             "under the server's output root)")
+        full = (self.output_root / p).resolve()
+        if full != self.output_root and \
+                self.output_root not in full.parents:
+            raise ValueError("output_dir escapes the server output root")
+        return str(full)
 
     def _steps(self, body: dict) -> int:
         return max(1, min(int(body.get("num_inference_steps", 50)),
@@ -194,6 +229,20 @@ class Server:
                 "format": "png;base64"}
 
     def _handle_walk(self, body: dict):
+        unknown = sorted(set(body) - self.WALK_KWARGS)
+        if unknown:
+            raise ValueError(f"unknown walk parameters: {unknown} "
+                             f"(allowed: {sorted(self.WALK_KWARGS)})")
+        body = dict(body)
+        body["output_dir"] = self._confine(body.get("output_dir"))
+        if "audio_filepath" in body and body["audio_filepath"] is not None:
+            # server-side file read: keep it inside the output root too
+            body["audio_filepath"] = self._confine(body["audio_filepath"])
+        if "num_inference_steps" in body:
+            body["num_inference_steps"] = self._steps(body)
+        for k in ("height", "width"):
+            if body.get(k) is not None:
+                body[k] = self._side(body, k)
         holder: dict = {}
 
         def run():

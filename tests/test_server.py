@@ -11,10 +11,12 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def served():
+def served(tmp_path_factory):
     from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
     from stable_diffusion_videos_tpu.runtime.server import Server
-    server = Server(StableDiffusionWalkPipeline.tiny())
+    root = tmp_path_factory.mktemp("walk_root")
+    server = Server(StableDiffusionWalkPipeline.tiny(),
+                    output_root=str(root))
     host, port = server.start(port=0)
     yield host, port, server
     server.shutdown()
@@ -79,11 +81,11 @@ def test_unknown_routes(served):
 
 
 def test_walk_job(served, tmp_path):
-    host, port, _ = served
+    host, port, server = served
     status, body = _req(host, port, "POST", "/walk", {
         "prompts": ["a", "b"], "seeds": [1, 2],
         "num_interpolation_steps": 2, "num_inference_steps": 2,
-        "fps": 2, "output_dir": str(tmp_path), "name": "served"})
+        "fps": 2, "output_dir": "runs", "name": "served"})
     assert status == 202
     job_id = body["job_id"]
     deadline = time.time() + 240
@@ -94,6 +96,8 @@ def test_walk_job(served, tmp_path):
         time.sleep(1)
     assert job["status"] == "done", job
     assert job["result"]["video"].endswith(".mp4")
+    # confined under the server's output root
+    assert job["result"]["video"].startswith(str(server.output_root))
     assert job["result"]["perf"]["frames"] >= 2
     # progress streamed into the job while it ran (final state: complete)
     assert job["progress"]["frames_done"] == job["progress"]["frames_total"] \
@@ -194,3 +198,68 @@ def test_inpaint_endpoint():
         assert status == 400
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# /walk hardening (kwarg allowlist + output confinement)
+# ---------------------------------------------------------------------------
+def test_walk_rejects_unknown_kwargs(served):
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/walk", {
+        "prompts": ["a", "b"], "seeds": [1, 2], "bogus_flag": True})
+    assert status == 400
+    assert "bogus_flag" in body["error"]
+
+
+def test_walk_rejects_absolute_output_dir(served, tmp_path):
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/walk", {
+        "prompts": ["a", "b"], "seeds": [1, 2],
+        "output_dir": str(tmp_path)})
+    assert status == 400
+    assert "relative" in body["error"]
+
+
+def test_walk_rejects_path_escape(served):
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/walk", {
+        "prompts": ["a", "b"], "seeds": [1, 2],
+        "output_dir": "../../etc"})
+    assert status == 400
+    assert "escape" in body["error"]
+
+
+def test_walk_rejects_upsample_weights_kwarg(served):
+    """Server filesystem paths are operator-configured, never
+    caller-controlled."""
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/walk", {
+        "prompts": ["a", "b"], "seeds": [1, 2],
+        "upsample_weights": "/etc/passwd"})
+    assert status == 400
+
+
+def test_walk_audio_path_confined(served):
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/walk", {
+        "prompts": ["a", "b"], "seeds": [1, 2],
+        "audio_filepath": "/etc/passwd"})
+    assert status == 400
+
+
+def test_walk_clamps_steps_and_sides(served):
+    """Oversized steps/height/width are clamped before reaching the job
+    (same ceilings as /generate) — the walk is accepted, not 400'd."""
+    host, port, server = served
+    status, body = _req(host, port, "POST", "/walk", {
+        "prompts": ["a", "b"], "seeds": [1, 2],
+        "num_interpolation_steps": 2, "num_inference_steps": 99999,
+        "fps": 2, "name": "clamped", "make_video": False})
+    assert status == 202
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        _, job = _req(host, port, "GET", f"/jobs/{body['job_id']}")
+        if job["status"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert job["status"] == "done", job
