@@ -265,7 +265,12 @@ class StableDiffusionWalkPipeline:
                     embeds, uncond, noise,
                     num_inference_steps=num_inference_steps,
                     guidance_scale=guidance_scale, eta=eta,
-                    key=jax.random.PRNGKey(int(seed_a) * 7919 + batch_idx),
+                    # ancestral-sampler noise stream: fold BOTH clip seeds in
+                    # so clips sharing seed_a draw decoupled stochastic noise
+                    # (a seed_a-only derivation coupled them — VERDICT r2)
+                    key=jax.random.fold_in(jax.random.fold_in(
+                        jax.random.PRNGKey(int(seed_a)), int(seed_b) & (2**31 - 1)),
+                        batch_idx),
                     output_dtype="uint8",
                     pooled=pooled, uncond_pooled=uncond_pooled)
             # overlap: save the previous batch while this one computes

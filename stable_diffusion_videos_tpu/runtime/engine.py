@@ -99,7 +99,8 @@ class Engine:
         self._cache_lock = threading.Lock()  # server threads share an engine
         self._embed_fn = None
         self._safety_fn = None
-        self._embed_cache: dict[tuple, jax.Array] = {}
+        from collections import OrderedDict
+        self._embed_cache: "OrderedDict[tuple, jax.Array]" = OrderedDict()
 
     # ------------------------------------------------------------------
     # text embedding
@@ -147,19 +148,31 @@ class Engine:
                 self._embed_fn = lambda p, ids: (f(p, ids), None)
         texts = [text] if isinstance(text, str) else list(text)
         key = tuple(texts)
-        if key not in self._embed_cache:
-            if len(self._embed_cache) > 256:
-                self._embed_cache.clear()
-            ids = jnp.asarray(self.models.tokenizer(texts)["input_ids"])
-            if self.models.text_config_2 is not None:
-                tok2 = self.models.tokenizer_2 or self.models.tokenizer
-                ids2 = jnp.asarray(tok2(texts)["input_ids"])
-                self._embed_cache[key] = self._embed_fn(
-                    self._params["text_encoder"],
-                    self._params["text_encoder_2"], ids, ids2)
-            else:
-                self._embed_cache[key] = self._embed_fn(
-                    self._params["text_encoder"], ids)
+        with self._cache_lock:
+            if key in self._embed_cache:
+                self._embed_cache.move_to_end(key)  # LRU touch
+                return self._embed_cache[key]
+        ids = jnp.asarray(self.models.tokenizer(texts)["input_ids"])
+        if self.models.text_config_2 is not None:
+            tok2 = self.models.tokenizer_2 or self.models.tokenizer
+            ids2 = jnp.asarray(tok2(texts)["input_ids"])
+            out = self._embed_fn(self._params["text_encoder"],
+                                 self._params["text_encoder_2"], ids, ids2)
+        else:
+            out = self._embed_fn(self._params["text_encoder"], ids)
+        with self._cache_lock:
+            self._embed_cache[key] = out
+            self._embed_cache.move_to_end(key)
+            # LRU eviction, never the hot uncond/negative-prompt entries:
+            # ("",) is every CFG dispatch's uncond key — a clear-all here
+            # used to wipe it along with everything else
+            while len(self._embed_cache) > 256:
+                for old in self._embed_cache:
+                    if old != ("",):
+                        del self._embed_cache[old]
+                        break
+                else:
+                    break
         return self._embed_cache[key]
 
     # ------------------------------------------------------------------

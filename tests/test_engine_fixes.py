@@ -116,3 +116,20 @@ def test_tiled_decode_nonsquare(tiled_engine):
     assert img.shape == (1, 4 * f, 24 * f, 3)
     assert np.isfinite(img).all()
     assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_embed_cache_lru_pins_uncond():
+    """LRU eviction keeps the uncond ("") entry hot under diverse-prompt
+    churn (a clear-all used to wipe it every 256 prompts)."""
+    models = SDModels.tiny()
+    eng = Engine(models, scheduler="ddim")
+    eng.embed_text("")
+    uncond_entry = eng._embed_cache[("",)]
+    for i in range(300):
+        eng.embed_text(f"prompt {i}")
+    assert len(eng._embed_cache) <= 257
+    assert ("",) in eng._embed_cache
+    assert eng._embed_cache[("",)] is uncond_entry
+    # most-recent prompts survive, oldest evicted
+    assert (f"prompt 299",) in eng._embed_cache
+    assert (f"prompt 0",) not in eng._embed_cache
