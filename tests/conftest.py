@@ -38,3 +38,18 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-geometry (860M) parity runs — opt-in via "
+                   "`-m slow` (several minutes of CPU)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if "slow" in config.getoption("-m", default=""):
+        return  # user explicitly asked for them
+    skip = pytest.mark.skip(reason="slow full-geometry test; run -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

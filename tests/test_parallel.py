@@ -44,8 +44,38 @@ def test_tp_rules_classify_unet_params():
     out = [s for n, s in by_name.items() if n.endswith("to_out/kernel")]
     assert out and all(s == P("model", None) for s in out)
     convs = [s for n, s in by_name.items() if "conv1/kernel" in n]
-    assert convs and all(s == P() for s in convs)
-    assert 0.05 < tp_param_fraction(params) < 0.9
+    assert convs and all(s == P(None, None, None, "model") for s in convs)
+    # conv rules (r3) lifted sharded bytes from 13% to effectively all of
+    # the UNet — TP now actually relieves HBM (VERDICT r2 item 5)
+    assert tp_param_fraction(params) > 0.9
+    # norms/biases stay replicated
+    norm = [s for n, s in by_name.items() if n.endswith("norm/scale")]
+    assert norm and all(s == P() for s in norm)
+
+
+def test_tp_rules_divisibility_guard():
+    """A dim the model axis can't divide degrades to replicated instead of
+    crashing device_put."""
+    params = {"attn1": {"to_q": {"kernel": jnp.zeros((16, 6))}},
+              "res": {"conv1": {"kernel": jnp.zeros((3, 3, 8, 6))}}}
+    specs = param_pspecs(params, axis_sizes={"model": 4, "data": 2})
+    assert specs["attn1"]["to_q"]["kernel"] == P()  # 6 % 4 != 0
+    assert specs["res"]["conv1"]["kernel"] == P()
+    specs2 = param_pspecs(params, axis_sizes={"model": 2, "data": 4})
+    assert specs2["attn1"]["to_q"]["kernel"] == P(None, "model")
+    assert specs2["res"]["conv1"]["kernel"] == P(None, None, None, "model")
+
+
+def test_param_bytes_per_device_accounting():
+    from stable_diffusion_videos_tpu.parallel.tp import param_bytes_per_device
+    mesh = make_mesh(model=2)
+    params = {"attn1": {"to_q": {"kernel": jnp.zeros((16, 32))}},
+              "bias": jnp.zeros((32,))}
+    acct = param_bytes_per_device(params, mesh)
+    assert acct["total_bytes"] == (16 * 32 + 32) * 4
+    assert acct["per_device_bytes"] == (16 * 32 // 2 + 32) * 4
+    assert acct["replicated_bytes"] == 32 * 4
+    assert 0.9 < acct["sharded_fraction"] < 1.0
 
 
 def test_tp_denoise_matches_dp():
