@@ -29,15 +29,19 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     normal GKE/TPU-VM path).  Returns the global mesh over
     ``jax.devices()`` (all hosts).
     """
-    if jax.process_count() == 1 and coordinator_address is None:
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # single-process/dev environment
-            logger.info("jax.distributed.initialize skipped: %s", e)
-    elif coordinator_address is not None:
+    # NOTE: nothing may touch the backend (jax.devices/process_count/any
+    # computation) before jax.distributed.initialize — checking
+    # jax.process_count() first silently breaks every explicit-coordinator
+    # init (caught by tests/test_multihost.py)
+    if coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
+    else:
+        try:
+            jax.distributed.initialize()  # TPU-env autodetection
+        except Exception as e:  # single-process/dev environment
+            logger.info("jax.distributed.initialize skipped: %s", e)
     logger.info("process %d/%d, %d local + %d global devices",
                 jax.process_index(), jax.process_count(),
                 jax.local_device_count(), jax.device_count())
