@@ -99,6 +99,19 @@ def cmd_convert(args):
         print(f"  {k}: {n/1e6:.1f}M params")
 
 
+def cmd_parity_gate(args):
+    import json as _json
+
+    from .utils.parity_gate import run_parity_gate
+    pipe = _pipeline(args)
+    res = run_parity_gate(pipe, args.reference_frames, args.output_dir,
+                          lpips_weights=args.lpips_weights,
+                          lpips_net=args.lpips_net,
+                          height=args.height, width=args.width)
+    print(_json.dumps(res, indent=2))
+    raise SystemExit(0 if res["pass"] else 1)
+
+
 def cmd_compare(args):
     import json as _json
 
@@ -192,6 +205,20 @@ def build_parser() -> argparse.ArgumentParser:
                            "(or env SDV_LPIPS_WEIGHTS)")
     cmp_.add_argument("--lpips-net", default="alex", choices=("alex", "vgg"))
     cmp_.set_defaults(fn=cmd_compare)
+
+    pg = sub.add_parser(
+        "parity-gate",
+        help="BASELINE gate: fixed 2-prompt walk vs a reference-pipeline "
+             "frame dump (PSNR/SSIM/LPIPS); exit 0 = PASS")
+    _add_common(pg)
+    pg.add_argument("--reference-frames", required=True,
+                    help="dir of frames recorded with the reference "
+                         "package at the gate config (docs/parity.md)")
+    pg.add_argument("--output-dir", default="./parity_runs")
+    pg.add_argument("--lpips-weights", default=None,
+                    help="LPIPS weights .pth/.npz (or env SDV_LPIPS_WEIGHTS)")
+    pg.add_argument("--lpips-net", default="alex", choices=("alex", "vgg"))
+    pg.set_defaults(fn=cmd_parity_gate)
 
     srv = sub.add_parser("serve", help="HTTP JSON inference server")
     _add_common(srv)

@@ -103,3 +103,39 @@ def compare_frame_dirs(dir_a, dir_b, glob: str = "**/frame*.png",
         out["lpips_max"] = round(float(np.max(lpipss)), 5)
         out["lpips_net"] = lpips_net
     return out
+
+
+def quality_vs_exact(frames: np.ndarray, exact: np.ndarray,
+                     lpips_weights: str | None = None,
+                     lpips_net: str = "alex") -> dict:
+    """Quality gate for approximations (step caching, quantisation):
+    per-frame SSIM/PSNR + relative error of ``frames`` vs the ``exact``
+    batch (float [0,1] (B,H,W,3)); adds LPIPS when weights are supplied
+    (arg or env ``SDV_LPIPS_WEIGHTS``).  A speedup number should never be
+    quoted without this dict next to it."""
+    import os
+
+    frames = np.asarray(frames, np.float32)
+    exact = np.asarray(exact, np.float32)
+    rel = float(np.linalg.norm(frames - exact)
+                / max(np.linalg.norm(exact), 1e-12))
+    ssims = [ssim(frames[i], exact[i], data_range=1.0)
+             for i in range(frames.shape[0])]
+    psnrs = [psnr(frames[i], exact[i], data_range=1.0)
+             for i in range(frames.shape[0])]
+    out = {
+        "rel_err": round(rel, 5),
+        "ssim_mean": round(float(np.mean(ssims)), 5),
+        "ssim_min": round(float(np.min(ssims)), 5),
+        "psnr_mean": round(float(np.mean(psnrs)), 2),
+        "psnr_min": round(float(np.min(psnrs)), 2),
+    }
+    lpips_weights = lpips_weights or os.environ.get("SDV_LPIPS_WEIGHTS")
+    if lpips_weights:
+        from .lpips import load_lpips_weights, lpips_distance
+        params = load_lpips_weights(lpips_weights, net=lpips_net)
+        d = lpips_distance(frames, exact, params, net=lpips_net)
+        out["lpips_mean"] = round(float(np.mean(d)), 5)
+        out["lpips_max"] = round(float(np.max(d)), 5)
+        out["lpips_net"] = lpips_net
+    return out

@@ -47,3 +47,18 @@ def test_compare_frame_dirs_no_overlap(tmp_path):
     a.mkdir(); b.mkdir()
     with pytest.raises(ValueError):
         compare_frame_dirs(a, b)
+
+
+def test_quality_vs_exact():
+    from stable_diffusion_videos_tpu.utils.metrics import quality_vs_exact
+    rng = np.random.default_rng(0)
+    exact = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    same = quality_vs_exact(exact.copy(), exact)
+    assert same["rel_err"] == 0.0
+    assert same["ssim_mean"] == 1.0
+    approx = np.clip(exact + rng.normal(0, 0.02, exact.shape), 0, 1)
+    q = quality_vs_exact(approx.astype(np.float32), exact)
+    assert 0 < q["rel_err"] < 0.2
+    assert 0.5 < q["ssim_min"] <= q["ssim_mean"] < 1.0
+    assert q["psnr_min"] <= q["psnr_mean"]
+    assert "lpips_mean" not in q  # no weights supplied

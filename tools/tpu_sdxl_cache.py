@@ -96,8 +96,6 @@ def main():
     rng = np.random.default_rng(0)
     h = w = SIDE // vcfg.scale_factor
     for batch in batches:
-        engine = Engine(models, scheduler="pndm", batch_bucket=batch,
-                        vae_tile=64, step_cache=2, step_cache_split=1)
         cond = jnp.asarray(rng.standard_normal(
             (batch, 77, ucfg.cross_attention_dim), np.float32))
         pooled = jnp.asarray(rng.standard_normal(
@@ -105,26 +103,47 @@ def main():
         noise = jnp.asarray(rng.standard_normal((batch, h, w, 4), np.float32))
         entry = {"steps": STEPS, "side": SIDE, "vae_tile": 64}
         try:
-            t0 = time.perf_counter()
-            out = engine.denoise_frames(
-                cond, cond[:1], noise, num_inference_steps=STEPS,
-                pooled=pooled, uncond_pooled=pooled[:1])
-            entry["compile_plus_first_s"] = round(time.perf_counter() - t0, 1)
-            ts = []
-            for _ in range(2):
+            exact_frames = None
+            for k in (None, 2):
+                engine = Engine(models, scheduler="pndm", batch_bucket=batch,
+                                vae_tile=64, step_cache=k,
+                                step_cache_split=1)
+                sub = {}
                 t0 = time.perf_counter()
                 out = engine.denoise_frames(
                     cond, cond[:1], noise, num_inference_steps=STEPS,
                     pooled=pooled, uncond_pooled=pooled[:1])
-                ts.append(time.perf_counter() - t0)
-            dt = min(ts)
-            fl = STEPS * 2 * UNET_FLOP + VAE_FLOP
-            entry.update({
-                "s_per_dispatch": round(dt, 2),
-                "frames_per_s_chip": round(batch / dt, 4),
-                "implied_tflops": round(batch / dt * fl / 1e12, 1),
-                "out_shape": list(out.shape),
-            })
+                sub["compile_plus_first_s"] = round(
+                    time.perf_counter() - t0, 1)
+                ts = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    out = engine.denoise_frames(
+                        cond, cond[:1], noise, num_inference_steps=STEPS,
+                        pooled=pooled, uncond_pooled=pooled[:1])
+                    ts.append(time.perf_counter() - t0)
+                dt = min(ts)
+                fl = STEPS * 2 * UNET_FLOP + VAE_FLOP
+                sub.update({
+                    "s_per_dispatch": round(dt, 2),
+                    "frames_per_s_chip": round(batch / dt, 4),
+                    "implied_tflops": round(batch / dt * fl / 1e12, 1),
+                    "out_shape": list(out.shape),
+                })
+                if k is None:
+                    exact_frames = out
+                    entry["exact"] = sub
+                else:
+                    # quality gate next to the speedup — never quote the
+                    # 1.58x without it (SDV_LPIPS_WEIGHTS adds LPIPS)
+                    from stable_diffusion_videos_tpu.utils.metrics import \
+                        quality_vs_exact
+                    sub["quality_vs_exact"] = quality_vs_exact(out,
+                                                               exact_frames)
+                    sub["speedup_vs_exact"] = round(
+                        entry["exact"]["s_per_dispatch"]
+                        / sub["s_per_dispatch"], 3)
+                    entry[f"k{k}"] = sub
         except Exception as e:  # noqa: BLE001
             entry["error"] = f"{type(e).__name__}: {str(e)[:200]}"
         results[f"b{batch}"] = entry

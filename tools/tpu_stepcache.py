@@ -107,9 +107,13 @@ def main():
             if k is None:
                 exact_frames = frames
             elif exact_frames is not None:
-                err = float(np.linalg.norm(frames - exact_frames)
-                            / np.linalg.norm(exact_frames))
-                entry["rel_frame_err_vs_exact"] = round(err, 4)
+                # quality gate: the speedup is meaningless without it
+                # (LPIPS added automatically when SDV_LPIPS_WEIGHTS is set)
+                from stable_diffusion_videos_tpu.utils.metrics import \
+                    quality_vs_exact
+                q = quality_vs_exact(frames, exact_frames)
+                entry["quality_vs_exact"] = q
+                entry["rel_frame_err_vs_exact"] = q["rel_err"]
         except Exception as e:  # noqa: BLE001
             entry["error"] = f"{type(e).__name__}: {str(e)[:200]}"
         results[name] = entry
