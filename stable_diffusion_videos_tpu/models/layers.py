@@ -58,18 +58,45 @@ class TimestepEmbedMLP(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
 
 
+class _NormAffine(nn.Module):
+    """Bare scale/bias params with nn.GroupNorm's names/shapes — lets the
+    fused Pallas path share one param tree with the flax path."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm with float32 statistics regardless of compute dtype."""
+    """GroupNorm with float32 statistics regardless of compute dtype.
+
+    ``silu=True`` fuses the following SiLU; with ``SDV_FUSED_GN=1`` on TPU
+    the GN+SiLU pair runs as one Pallas kernel (1 HBM read + 1 write vs
+    XLA's reduce-pass + normalize-pass — ops/groupnorm.py), probed on-chip
+    by tools/tpu_probe_gnsilu.py."""
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, silu: bool = False):
+        import os
+        if (silu and x.ndim == 4
+                and os.environ.get("SDV_FUSED_GN") == "1"):
+            # opt-in, TPU-targeted (non-TPU backends run the kernel
+            # interpreted — correct but slow; tests use that path)
+            from ..ops.groupnorm import fused_groupnorm_silu
+            scale, bias = _NormAffine(x.shape[-1], name="norm")()
+            return fused_groupnorm_silu(x, scale, bias,
+                                        num_groups=self.num_groups,
+                                        eps=self.epsilon, silu=True)
         orig = x.dtype
         out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
                            dtype=jnp.float32, name="norm")(x.astype(jnp.float32))
-        return out.astype(orig)
+        out = out.astype(orig)
+        return nn.silu(out) if silu else out
 
 
 class ResnetBlock2D(nn.Module):
@@ -87,8 +114,7 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x, temb: Optional[jax.Array] = None):
         residual = x
         h = GroupNorm32(self.groups, epsilon=self.eps, dtype=self.dtype,
-                        name="norm1")(x)
-        h = nn.silu(h)
+                        name="norm1")(x, silu=True)
         h = nn.Conv(self.out_channels, (3, 3),
                     padding=conv_padding(self.tiled), dtype=self.dtype,
                     name="conv1")(h)
@@ -97,8 +123,7 @@ class ResnetBlock2D(nn.Module):
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = GroupNorm32(self.groups, epsilon=self.eps, dtype=self.dtype,
-                        name="norm2")(h)
-        h = nn.silu(h)
+                        name="norm2")(h, silu=True)
         h = nn.Conv(self.out_channels, (3, 3),
                     padding=conv_padding(self.tiled), dtype=self.dtype,
                     name="conv2")(h)

@@ -245,8 +245,8 @@ class UNet2DCondition(nn.Module):
                     and level == cache_split):
                 deep_out = x  # trunk output entering level split-1
 
-        x = GroupNorm32(32, dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm32(32, dtype=self.dtype, name="conv_norm_out")(x,
+                                                                     silu=True)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=conv_padding(self.tiled),
                     dtype=self.dtype, name="conv_out")(x)
         eps = x.astype(jnp.float32)

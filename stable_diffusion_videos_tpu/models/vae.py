@@ -74,8 +74,7 @@ class Encoder(nn.Module):
         x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype, tiled=self.tiled,
                           name="mid_res_1")(x)
         x = GroupNorm32(32, epsilon=1e-6, dtype=self.dtype,
-                        name="conv_norm_out")(x)
-        x = nn.silu(x)
+                        name="conv_norm_out")(x, silu=True)
         return nn.Conv(2 * cfg.latent_channels, (3, 3),
                        padding=conv_padding(self.tiled), dtype=self.dtype,
                        name="conv_out")(x)
@@ -107,8 +106,7 @@ class Decoder(nn.Module):
                 x = Upsample2D(ch, dtype=self.dtype, tiled=self.tiled,
                                name=f"up_{level}_upsample")(x)
         x = GroupNorm32(32, epsilon=1e-6, dtype=self.dtype,
-                        name="conv_norm_out")(x)
-        x = nn.silu(x)
+                        name="conv_norm_out")(x, silu=True)
         return nn.Conv(cfg.out_channels, (3, 3),
                        padding=conv_padding(self.tiled), dtype=self.dtype,
                        name="conv_out")(x)

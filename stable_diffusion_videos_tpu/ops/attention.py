@@ -30,16 +30,20 @@ def set_attention_backend(name: str):
     _BACKEND = name
 
 
-def _resolve_backend(seq_len: int, head_dim: int) -> str:
+#: above this estimated f32 score-tensor size XLA stops materialising the
+#: scores and its forced chunked path is competitive (v5e, 16 GB HBM)
+_MATERIALIZE_LIMIT_BYTES = 8 << 30
+
+
+def _resolve_backend(seq_len: int, head_dim: int,
+                     batch_heads: int = 0, kv_len: int | None = None) -> str:
     if _BACKEND != "auto":
         return _BACKEND
     # Measured on the v5e (tools/profile_r02.json, round 2): inside the FULL
-    # UNet the flash backend is strictly slower (CFG B=8/16/32: 176/353/727
-    # ms vs XLA's 132/264/536) — the Pallas kernel pads head_dim to the
-    # 128-lane width, wasting 3.2x MXU work at SD's D=40 and 1.6x at D=80,
-    # and XLA's fused einsum-softmax-einsum wins at every UNet shape.  The
-    # one shape where flash measured faster is the VAE mid block's
-    # single-head D=512 full self-attention (5.2 vs 7.8ms at S=4096).  Tiny
+    # UNet the flash backend is strictly slower at SD1.x's D=40 (CFG
+    # B=8/16/32: 176/353/727 ms vs XLA's 132/264/536) — the Pallas kernel
+    # pads head_dim to the 128-lane width, wasting 3.2x MXU work — and
+    # XLA's fused einsum-softmax-einsum wins at every D=40 shape.  Tiny
     # sequences (CLIP's 77 tokens) always go through XLA fusion.
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
@@ -51,7 +55,22 @@ def _resolve_backend(seq_len: int, head_dim: int) -> str:
     # sizes XLA's logits HBM traffic dominates anyway.
     if seq_len >= 8192:
         return "flash"
-    return "flash" if (seq_len >= 1024 and head_dim >= 256) else "xla"
+    if seq_len >= 1024 and head_dim >= 256:
+        return "flash"  # VAE mid block (D=512): flash 5.2 vs XLA 7.8 ms
+    # SD2/SDXL-class heads (D>=64): when the whole f32 score tensor FITS in
+    # HBM, XLA materialises it and pays full write+read bandwidth — the
+    # root cause of the SD2 batch-8 cliff (r3: tools/sd2_b8_r03.json shows
+    # the b8 scan allocating MORE temp, 5.9 GB, than the b16 one, 4.4 GB).
+    # Measured at (B*H=80, S=4096, D=64): flash 11.9 ms vs XLA 18.6; at
+    # (B*H=160, S=1024): flash 5.0 vs 6.0.  Above the limit XLA is forced
+    # into its chunked path and slightly beats flash (18.2 vs 20.8 ms) —
+    # keep XLA there.  D=40 never routes here (flash pad waste dominates).
+    kv = kv_len if kv_len is not None else seq_len
+    if (head_dim >= 64 and seq_len >= 1024 and kv >= 1024
+            and batch_heads > 0
+            and 4 * batch_heads * seq_len * kv <= _MATERIALIZE_LIMIT_BYTES):
+        return "flash"
+    return "xla"
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -69,7 +88,9 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               scale: float | None = None) -> jax.Array:
     """Dispatch to the configured backend.  q:(B,Sq,H,D) k,v:(B,Sk,H,D)."""
-    backend = _resolve_backend(q.shape[1], q.shape[-1])
+    backend = _resolve_backend(q.shape[1], q.shape[-1],
+                               batch_heads=q.shape[0] * q.shape[2],
+                               kv_len=k.shape[1])
     if backend == "flash":
         from .flash_attention import flash_attention
         sq, sk = q.shape[1], k.shape[1]

@@ -125,3 +125,28 @@ def test_highres_tile_policy(monkeypatch):
     assert run(9216, 9216) == (512, 1024)   # 9216 % 2048 != 0
     assert run(4096, 4096) == (256, 1024)   # the S=4096-tuned default
     assert run(4096, 77) == (256, 77)
+
+
+def test_materialization_aware_routing(monkeypatch):
+    """r3 policy (tools/sd2_b8_r03.json + probe_r03.json "sd2attn"): D>=64
+    self-attention routes to flash exactly when XLA would materialise the
+    f32 score tensor (it fits in HBM) — the SD2 batch-8 cliff's root cause.
+    D=40 (SD1.x) and cross-attention (kv=77) never re-route."""
+    import importlib
+
+    import jax as _jax
+    A = importlib.import_module("stable_diffusion_videos_tpu.ops.attention")
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    # SD2 L0 at CFG batch 16 (B*H=80, S=4096, D=64): 5 GB scores fit ->
+    # XLA materialises -> flash (measured 11.9 vs 18.6 ms)
+    assert A._resolve_backend(4096, 64, batch_heads=80) == "flash"
+    # CFG batch 32 (10 GB > limit): XLA's forced chunked path wins
+    assert A._resolve_backend(4096, 64, batch_heads=160) == "xla"
+    # SD2 L1 (S=1024, B*H=160): 0.6 GB fits -> flash (5.0 vs 6.0 ms)
+    assert A._resolve_backend(1024, 64, batch_heads=160) == "flash"
+    # SD1.x D=40: flash pad waste dominates, never re-route
+    assert A._resolve_backend(4096, 40, batch_heads=128) == "xla"
+    # cross-attention (kv=77): tiny scores, stays XLA
+    assert A._resolve_backend(4096, 64, batch_heads=80, kv_len=77) == "xla"
+    # small sequences stay XLA
+    assert A._resolve_backend(256, 64, batch_heads=320) == "xla"

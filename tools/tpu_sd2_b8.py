@@ -91,8 +91,10 @@ def build_models():
 
 
 def op_histogram(hlo_text: str) -> dict:
+    # scheduled-HLO lines: `%name = type{layout} opcode(args)` — the
+    # type+layout token has no spaces
     hist = {}
-    for m in re.finditer(r"=\s+[\w\[\],<>{}]+\s+(\w[\w-]*)\(", hlo_text):
+    for m in re.finditer(r"= \S+ ([a-z][\w\-]*)\(", hlo_text):
         hist[m.group(1)] = hist.get(m.group(1), 0) + 1
     return hist
 
