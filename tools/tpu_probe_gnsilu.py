@@ -34,7 +34,7 @@ from jax import lax  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "probe_r03.json")
-ITERS = 20
+ITERS = 200  # ~1.5 ms tunnel RTT per dispatch must amortise to <10 us/iter
 # (H=W, C): SD1.x levels at 512^2, CFG batch 32 (= walk batch 16)
 SHAPES = [(64, 320), (32, 640), (16, 1280), (8, 1280)]
 B = 32

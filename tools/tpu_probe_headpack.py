@@ -45,7 +45,7 @@ from jax import lax  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "probe_r03.json")
-ITERS = 8
+ITERS = 24
 CASES = [  # (S, H, D) — SD1.x level 0 self-attn, level 1
     (4096, 8, 40),
     (1024, 8, 80),
@@ -82,19 +82,16 @@ def packed(q, k, v, scale, pack=3):
     # scores: contraction over the packed 120 lanes; zeros select the head
     s = jnp.einsum("bgpsl,bgkl->bgpsk", qb, kg) * scale
     p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
-    # P@V packed: concat K-dim, block-diag V
-    pv = p.transpose(0, 1, 3, 2, 4).reshape(Bq, G, S, pack * S)  # wrong axis?
-    # simpler: per-pack contraction stays batched; pack V along lanes with
-    # block-diag so one matmul emits all pack heads' outputs
+    # P@V packed: block-diag V so one matmul emits all pack heads
     vg = v.reshape(Bq, S, G, pack, D).transpose(0, 2, 3, 1, 4)  # B,G,p,S,D
     vb = jnp.einsum("bgpsd,pj->bgsjpd", vg, eye).reshape(
         Bq, G, S, pack, pack * D)  # zero except block p
-    out = jnp.einsum("bgpsk,bgkpl->bgpsl", p, vb.transpose(0, 1, 3, 2, 4))
+    out = jnp.einsum("bgpsk,bgkpl->bgpsl", p, vb)
     # extract head p's lanes [pD:(p+1)D]
     out = out.reshape(Bq, G, pack, S, pack, D)
     idx = jnp.arange(pack)
-    out = out[:, :, idx, :, idx]  # (pack, B, G, S, D)
-    out = out.transpose(1, 0, 3, 2, 4).reshape(Bq, S, G * pack, D)
+    out = out[:, :, idx, :, idx]  # advanced idx -> (pack, B, G, S, D)
+    out = out.transpose(1, 3, 2, 0, 4).reshape(Bq, S, G * pack, D)
     return out[:, :, :H]
 
 
