@@ -57,16 +57,19 @@ def _resolve_backend(seq_len: int, head_dim: int,
         return "flash"
     if seq_len >= 1024 and head_dim >= 256:
         return "flash"  # VAE mid block (D=512): flash 5.2 vs XLA 7.8 ms
-    # SD2/SDXL-class heads (D>=64): when the whole f32 score tensor FITS in
+    # SD2/SDXL-class heads (D=64): when the whole f32 score tensor FITS in
     # HBM, XLA materialises it and pays full write+read bandwidth — the
     # root cause of the SD2 batch-8 cliff (r3: tools/sd2_b8_r03.json shows
     # the b8 scan allocating MORE temp, 5.9 GB, than the b16 one, 4.4 GB).
     # Measured at (B*H=80, S=4096, D=64): flash 11.9 ms vs XLA 18.6; at
     # (B*H=160, S=1024): flash 5.0 vs 6.0.  Above the limit XLA is forced
     # into its chunked path and slightly beats flash (18.2 vs 20.8 ms) —
-    # keep XLA there.  D=40 never routes here (flash pad waste dominates).
+    # keep XLA there.  SD1.x's D=40/80 never routes here: r2's op sweep
+    # (tools/profile_r02.json) measured XLA faster than flash at every
+    # D=40/80 shape, materialised or not — the rule is exactly D=64,
+    # the head size shared by SD2.x and SDXL.
     kv = kv_len if kv_len is not None else seq_len
-    if (head_dim >= 64 and seq_len >= 1024 and kv >= 1024
+    if (head_dim == 64 and seq_len >= 1024 and kv >= 1024
             and batch_heads > 0
             and 4 * batch_heads * seq_len * kv <= _MATERIALIZE_LIMIT_BYTES):
         return "flash"

@@ -144,8 +144,9 @@ def test_materialization_aware_routing(monkeypatch):
     assert A._resolve_backend(4096, 64, batch_heads=160) == "xla"
     # SD2 L1 (S=1024, B*H=160): 0.6 GB fits -> flash (5.0 vs 6.0 ms)
     assert A._resolve_backend(1024, 64, batch_heads=160) == "flash"
-    # SD1.x D=40: flash pad waste dominates, never re-route
+    # SD1.x D=40/80: XLA measured faster at every shape, never re-route
     assert A._resolve_backend(4096, 40, batch_heads=128) == "xla"
+    assert A._resolve_backend(1024, 80, batch_heads=128) == "xla"
     # cross-attention (kv=77): tiny scores, stays XLA
     assert A._resolve_backend(4096, 64, batch_heads=80, kv_len=77) == "xla"
     # small sequences stay XLA
