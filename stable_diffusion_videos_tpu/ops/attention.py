@@ -104,6 +104,19 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
             # kernel falls back to XLA
             tq = 512
             tk = 2048 if sk % 2048 == 0 else 1024
+        elif q.shape[-1] == 64:
+            # D=64 materialization-route tiles (r3 sweep, probe_r03.json
+            # "flash_d64"): the k tile wants the WHOLE sequence — q256/k4096
+            # is 24% faster than the q256/k1024 default at S=4096; at
+            # S=1024 a single q tile wins for big batch*heads
+            if sq >= 2048:
+                tq = 256
+                tk = next((t for t in (4096, 2048, 1024) if sk % t == 0),
+                          min(sk, 1024))
+            else:
+                big = q.shape[0] * q.shape[2] >= 128
+                tq = sq if (big and sq <= 1024) else 256
+                tk = min(sk, 1024)
         else:
             tq, tk = 256, min(sk, 1024)
         return flash_attention(q, k, v, scale=scale, tile_q=tq, tile_k=tk)

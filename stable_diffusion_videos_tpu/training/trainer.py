@@ -41,6 +41,16 @@ class TrainConfig:
     #: (jax.checkpoint): ~sqrt activation memory for ~1.3x FLOPs — what
     #: makes full-geometry 512^2 fine-tuning fit a single chip's HBM
     remat: bool = flax.struct.field(pytree_node=False, default=False)
+    #: "epsilon" (SD1.x/SDXL) or "v_prediction" (SD2.x) — must match the
+    #: family's scheduler prediction type
+    objective: str = flax.struct.field(pytree_node=False, default="epsilon")
+    #: min-SNR-gamma loss weighting (Hang et al. 2023); 0 disables.  5.0 is
+    #: the customary value — downweights the near-noise timesteps that
+    #: otherwise dominate the gradient
+    snr_gamma: float = flax.struct.field(pytree_node=False, default=0.0)
+    #: exponential moving average of the params (the weights diffusion
+    #: models are actually sampled from); 0 disables
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
 
 
 class UNetTrainer:
@@ -72,6 +82,11 @@ class UNetTrainer:
             jax.tree.map(lambda x: jnp.array(x, jnp.float32, copy=True),
                          models.params["unet"]))
         self.opt_state = replicate(self.mesh, self.tx.init(self.params))
+        #: EMA shadow of the params (sampled-from weights); tracks params
+        #: exactly when ema_decay == 0 so export is uniform
+        self.ema_params = replicate(
+            self.mesh, jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                    self.params))             if self.config.ema_decay > 0.0 else None
         self.step_count = 0
         self._train_step = self._build()
 
@@ -85,13 +100,34 @@ class UNetTrainer:
             apply = jax.checkpoint(unet.apply,
                                    policy=jax.checkpoint_policies.nothing_saveable)
 
+        objective = self.config.objective
+        if objective not in ("epsilon", "v_prediction"):
+            raise ValueError(f"unknown objective {objective!r}")
+        snr_gamma = self.config.snr_gamma
+        ema_decay = self.config.ema_decay
+
         def loss_fn(params, latents, context, t, noise):
             a = acp[t][:, None, None, None]
             noisy = jnp.sqrt(a) * latents + jnp.sqrt(1.0 - a) * noise
             pred = apply(params, noisy, t.astype(jnp.float32), context)
-            return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
+            if objective == "v_prediction":
+                # v = sqrt(a) eps - sqrt(1-a) x0 (Salimans & Ho 2022)
+                target = jnp.sqrt(a) * noise - jnp.sqrt(1.0 - a) * latents
+            else:
+                target = noise
+            err = (pred.astype(jnp.float32) - target) ** 2
+            if snr_gamma > 0.0:
+                snr = a[:, 0, 0, 0] / (1.0 - a[:, 0, 0, 0])
+                if objective == "v_prediction":
+                    w = jnp.minimum(snr, snr_gamma) / (snr + 1.0)
+                else:
+                    w = jnp.minimum(snr, snr_gamma) / snr
+                # mean over all elements == batch-mean of w_b * per-sample
+                # MSE (w broadcasts over the pixel dims)
+                return jnp.mean(w[:, None, None, None] * err)
+            return jnp.mean(err)
 
-        def train_step(params, opt_state, latents, context, key):
+        def train_step(params, ema, opt_state, latents, context, key):
             kt, kn = jax.random.split(key)
             b = latents.shape[0]
             t = jax.random.randint(kt, (b,), 0, self._num_train_timesteps)
@@ -100,14 +136,18 @@ class UNetTrainer:
                 params, latents, context, t, noise)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            if ema_decay > 0.0:
+                ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    ema, params)
+            return params, ema, opt_state, loss
 
         bs = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
         return jax.jit(train_step,
-                       in_shardings=(rep, rep, bs, bs, rep),
-                       out_shardings=(rep, rep, rep),
-                       donate_argnums=(0, 1))
+                       in_shardings=(rep, rep, rep, bs, bs, rep),
+                       out_shardings=(rep, rep, rep, rep),
+                       donate_argnums=(0, 1, 2))
 
     # ------------------------------------------------------------------
     def step(self, latents, context, key=None) -> float:
@@ -127,8 +167,14 @@ class UNetTrainer:
             latents, context = latents[idx], context[idx]
         latents = jax.device_put(latents, batch_sharding(self.mesh))
         context = jax.device_put(context, batch_sharding(self.mesh))
-        self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, latents, context, key)
+        # scalar placeholder when EMA is off — passing self.params here
+        # would alias a DONATED buffer into a second argument
+        ema_in = self.ema_params if self.ema_params is not None \
+            else jax.device_put(jnp.float32(0), replicated(self.mesh))
+        self.params, ema_out, self.opt_state, loss = self._train_step(
+            self.params, ema_in, self.opt_state, latents, context, key)
+        if self.ema_params is not None:
+            self.ema_params = ema_out
         self.step_count += 1
         return float(loss)
 
@@ -151,10 +197,55 @@ class UNetTrainer:
                 logger.info("finetune step %d loss %.5f", i, losses[-1])
         return losses
 
-    def export_params(self):
-        """Updated UNet params (dtype of the bundle) -> new params dict."""
+    def export_params(self, ema: bool = True):
+        """Updated UNet params (dtype of the bundle) -> new params dict.
+        ``ema=True`` exports the EMA weights when tracked (the weights
+        diffusion models are sampled from); falls back to the live
+        params otherwise."""
+        src = self.ema_params if (ema and self.ema_params is not None) \
+            else self.params
         out = dict(self.models.params)
         out["unet"] = jax.tree.map(
             lambda x: jnp.asarray(x, self.models.dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, self.params)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, src)
         return out
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (orbax)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path):
+        """Write params + optimizer state + EMA + step counter so a long
+        fine-tune survives preemption (orbax; the inference engine's
+        frame-granular resume is the separate walk-level mechanism)."""
+        import orbax.checkpoint as ocp
+        from pathlib import Path as _P
+        path = _P(path).absolute()
+        ckptr = ocp.PyTreeCheckpointer()
+        payload = {"params": self.params, "opt_state": self.opt_state,
+                   "step_count": self.step_count}
+        if self.ema_params is not None:
+            payload["ema_params"] = self.ema_params
+        ckptr.save(path, payload, force=True)
+        logger.info("saved training checkpoint @ step %d -> %s",
+                    self.step_count, path)
+
+    def restore_checkpoint(self, path):
+        """Restore a save_checkpoint() snapshot into this trainer."""
+        import orbax.checkpoint as ocp
+        from pathlib import Path as _P
+        ckptr = ocp.PyTreeCheckpointer()
+        # restore INTO the live structure: optax states are NamedTuples,
+        # which a structureless restore would flatten to dicts
+        template = {"params": self.params, "opt_state": self.opt_state,
+                    "step_count": 0}
+        if self.ema_params is not None:
+            template["ema_params"] = self.ema_params
+        restored = ckptr.restore(_P(path).absolute(), item=template)
+        self.params = replicate(self.mesh, restored["params"])
+        self.opt_state = jax.tree.map(
+            lambda x: jax.device_put(x, replicated(self.mesh)),
+            restored["opt_state"])
+        if "ema_params" in restored:
+            self.ema_params = replicate(self.mesh, restored["ema_params"])
+        self.step_count = int(restored["step_count"])
+        return self
