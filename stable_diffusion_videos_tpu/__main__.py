@@ -21,7 +21,10 @@ def _add_common(ap):
                              "euler_ancestral", "dpm"])
     ap.add_argument("--tiled", action="store_true",
                     help="circular convs -> seamlessly tileable frames")
-    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="frames per dispatch (default: the model "
+                         "family's measured best — 8 for SD1/2, 1 for "
+                         "SDXL at 1024^2)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--guidance-scale", type=float, default=7.5)
     ap.add_argument("--height", type=int, default=None)

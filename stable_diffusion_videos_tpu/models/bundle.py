@@ -78,6 +78,14 @@ class SDModels:
         ``stable_diffusion_pipeline.py:671-673``)."""
         return self.unet_config.sample_size * self.vae_scale_factor
 
+    @property
+    def default_batch_size(self) -> int:
+        """Measured production dispatch size per family
+        (docs/performance.md batch ladders): 8 for the 512^2-native
+        families; 1 for SDXL at its native 1024^2, where batch 2 adds
+        nothing and batch 8 exhausts HBM."""
+        return 1 if self.default_size >= 1024 else 8
+
     # ---- constructors ----
     @classmethod
     def tiny(cls, seed: int = 0, dtype=jnp.float32, tiled: bool = False,

@@ -23,7 +23,7 @@ import numpy as np
 logger = logging.getLogger("sdv_tpu")
 
 
-def generate_images(pipeline, prompt: str, batch_size: int = 1,
+def generate_images(pipeline, prompt: str, batch_size: Optional[int] = 1,
                     num_batches: int = 1, seeds=None,
                     num_inference_steps: int = 50,
                     guidance_scale: float = 7.5, eta: float = 0.0,
@@ -41,6 +41,7 @@ def generate_images(pipeline, prompt: str, batch_size: int = 1,
     upload the folder to the HF hub.  Returns the list of file paths."""
     height = height or pipeline.models.default_size
     width = width or pipeline.models.default_size
+    batch_size = batch_size or pipeline.models.default_batch_size
     name = name or time.strftime("%Y%m%d-%H%M%S")
     save_path = Path(output_dir) / name
     save_path.mkdir(exist_ok=False, parents=True)

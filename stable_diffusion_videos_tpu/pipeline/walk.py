@@ -302,7 +302,7 @@ class StableDiffusionWalkPipeline:
              num_inference_steps: int = 50, guidance_scale: float = 7.5,
              eta: float = 0.0, height: Optional[int] = None,
              width: Optional[int] = None, upsample: bool = False,
-             batch_size: int = 1, resume: bool = False,
+             batch_size: Optional[int] = 1, resume: bool = False,
              audio_filepath: Optional[str] = None,
              audio_start_sec: Optional[float] = None, margin: float = 1.0,
              smooth: float = 0.0, negative_prompt: Optional[str] = None,
@@ -325,6 +325,10 @@ class StableDiffusionWalkPipeline:
 
         height = height or self.models.default_size
         width = width or self.models.default_size
+        # batch_size=None -> the family's measured-best dispatch size
+        # (docs/performance.md); the reference default of 1 is kept for
+        # explicit compatibility
+        batch_size = batch_size or self.models.default_batch_size
         output_path = Path(output_dir)
         name = name or time.strftime("%Y%m%d-%H%M%S")
         save_path_root = output_path / name

@@ -11,9 +11,13 @@ Endpoints:
     body: {prompt | prompts, negative_prompt?, seed?, num_inference_steps?,
            guidance_scale?, height?, width?, count?}
 * ``POST /walk``              -> {job_id}   (async; body = walk() kwargs)
-* ``GET  /jobs/<id>``         -> {status: queued|running|done|error,
-                                  progress?: {clip, clips_total, frames_done,
-                                  frames_total}, result?, error?, perf?}
+* ``GET  /jobs/<id>``         -> {status: queued|running|cancelling|
+                                  cancelled|done|error, progress?: {clip,
+                                  clips_total, frames_done, frames_total},
+                                  result?, error?, perf?}
+* ``DELETE /jobs/<id>``       -> 202 {status: cancelling} (at the next
+                                  frame-batch boundary; the half-written
+                                  video container is removed)
 
 Start: ``python -m stable_diffusion_videos_tpu serve --checkpoint ...`` or
 ``Server(pipeline).serve_forever(port=8000)``.
@@ -34,23 +38,37 @@ import numpy as np
 logger = logging.getLogger("sdv_tpu")
 
 
+class JobCancelled(Exception):
+    """Raised inside a job when its cancel event is set (the walk's
+    cleanup path removes any half-written video container)."""
+
+
 class JobManager:
     def __init__(self):
         self._jobs: dict[str, dict] = {}
+        self._cancel: dict[str, threading.Event] = {}
         self._lock = threading.Lock()
 
     def submit(self, fn, *args, **kwargs) -> str:
         job_id = uuid.uuid4().hex[:12]
         with self._lock:
             self._jobs[job_id] = {"status": "queued"}
+            self._cancel[job_id] = threading.Event()
 
         def run():
             with self._lock:
+                if self._cancel[job_id].is_set():  # cancelled while queued
+                    self._jobs[job_id]["status"] = "cancelled"
+                    return
                 self._jobs[job_id]["status"] = "running"
             try:
                 result = fn(*args, **kwargs)
                 with self._lock:
                     self._jobs[job_id].update(status="done", result=result)
+            except JobCancelled:
+                logger.info("job %s cancelled", job_id)
+                with self._lock:
+                    self._jobs[job_id]["status"] = "cancelled"
             except Exception as e:  # surfaced via the API, not swallowed
                 logger.exception("job %s failed", job_id)
                 with self._lock:
@@ -59,6 +77,23 @@ class JobManager:
 
         threading.Thread(target=run, daemon=True).start()
         return job_id
+
+    def cancel(self, job_id: str) -> bool:
+        """Request cancellation; takes effect at the next progress tick
+        (frame-batch granularity — one sharded dispatch is never
+        interrupted mid-flight)."""
+        with self._lock:
+            if job_id not in self._jobs:
+                return False
+            if self._jobs[job_id]["status"] in ("done", "error", "cancelled"):
+                return False
+            self._cancel[job_id].set()
+            self._jobs[job_id]["status"] = "cancelling"
+            return True
+
+    def cancel_event(self, job_id: str) -> threading.Event:
+        with self._lock:
+            return self._cancel[job_id]
 
     def update(self, job_id: str, **fields):
         with self._lock:
@@ -247,8 +282,12 @@ class Server:
 
         def run():
             def hook(p):
+                # holder["id"] is assigned right after submit(); the first
+                # progress tick can race it, hence the guard
                 if "id" in holder:
                     self.jobs.update(holder["id"], progress=p)
+                    if self.jobs.cancel_event(holder["id"]).is_set():
+                        raise JobCancelled(holder["id"])
             with self.dispatch_lock:
                 self.pipeline.on_progress = hook
                 try:
@@ -283,6 +322,18 @@ class Server:
                     if job is None:
                         return self._reply(404, {"error": "unknown job"})
                     return self._reply(200, job)
+                return self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_DELETE(self):
+                if self.path.startswith("/jobs/"):
+                    job_id = self.path.split("/")[-1]
+                    if server_self.jobs.cancel(job_id):
+                        return self._reply(202, {"status": "cancelling"})
+                    job = server_self.jobs.get(job_id)
+                    if job is None:
+                        return self._reply(404, {"error": "unknown job"})
+                    return self._reply(409, {"error": "not cancellable",
+                                             "status": job["status"]})
                 return self._reply(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):

@@ -244,3 +244,18 @@ def test_engine_uint8_output_matches_float():
     # fp reassociation inside the fused program can flip the rounding of
     # exact .5 boundaries; allow off-by-one
     assert np.abs(u.astype(np.int32) - want).max() <= 1
+
+
+def test_family_default_batch_size():
+    """batch_size=None resolves to the family's measured-best dispatch
+    size (docs/performance.md): 8 for 512^2-native, 1 for SDXL 1024^2."""
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    tiny = SDModels.tiny()
+    assert tiny.default_batch_size == 8  # tiny is 512-class (size 16)
+    import dataclasses
+    xl = SDModels.tiny_xl()
+    assert xl.default_batch_size == 8  # tiny XL is small too
+    # tiny VAE has scale factor 2 -> need sample_size 512 for a 1024^2
+    # default image side
+    xl.unet_config = xl.unet_config.replace(sample_size=512)
+    assert xl.default_batch_size == 1

@@ -263,3 +263,48 @@ def test_walk_clamps_steps_and_sides(served):
             break
         time.sleep(1)
     assert job["status"] == "done", job
+
+
+# ---------------------------------------------------------------------------
+# job cancellation (DELETE /jobs/<id>)
+# ---------------------------------------------------------------------------
+def test_walk_job_cancel(served):
+    host, port, server = served
+    status, body = _req(host, port, "POST", "/walk", {
+        "prompts": ["c1", "c2", "c3", "c4"], "seeds": [1, 2, 3, 4],
+        "num_interpolation_steps": 8, "num_inference_steps": 4,
+        "fps": 2, "output_dir": "cancel_run", "name": "tokill"})
+    assert status == 202
+    job_id = body["job_id"]
+    # wait until it is actually producing frames, then cancel
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, job = _req(host, port, "GET", f"/jobs/{job_id}")
+        if job["status"] == "running" and job.get("progress", {}) \
+                .get("frames_done", 0) > 0:
+            break
+        if job["status"] in ("done", "error"):
+            pytest.fail(f"job finished before cancel: {job}")
+        time.sleep(0.2)
+    status, body = _req(host, port, "DELETE", f"/jobs/{job_id}")
+    assert status == 202 and body["status"] == "cancelling"
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        _, job = _req(host, port, "GET", f"/jobs/{job_id}")
+        if job["status"] in ("cancelled", "done", "error"):
+            break
+        time.sleep(0.5)
+    assert job["status"] == "cancelled", job
+    # no half-written container left claiming completion
+    import pathlib
+    run = pathlib.Path(server.output_root) / "cancel_run" / "tokill"
+    assert not list(run.glob("**/*.mp4")) and not list(run.glob("**/*.avi"))
+    # a cancelled job cannot be re-cancelled
+    status, _ = _req(host, port, "DELETE", f"/jobs/{job_id}")
+    assert status == 409
+
+
+def test_cancel_unknown_and_done_jobs(served):
+    host, port, _ = served
+    assert _req(host, port, "DELETE", "/jobs/zzz")[0] == 404
+    assert _req(host, port, "DELETE", "/nope")[0] == 404
