@@ -91,8 +91,10 @@ def _load_audio_ffmpeg(path: str, sr: int, offset: float,
 
     ffmpeg does the demux/decode/resample/downmix in one pass (same
     process-pipe pattern as the video layer's encoder,
-    ``media/video.py``); slicing uses input-side ``-ss`` so long files
-    seek instead of decoding from zero.
+    ``media/video.py``).  Slicing uses OUTPUT-side ``-ss``/``-t``:
+    sample-accurate (input-side seeking lands on codec frame boundaries,
+    ~26 ms on mp3 — enough to smear beat alignment) at the cost of
+    decoding from the file start — trivial CPU for song-length inputs.
     """
     import shutil as _shutil
     import subprocess
@@ -107,10 +109,9 @@ def _load_audio_ffmpeg(path: str, sr: int, offset: float,
             f"{path!r} is not a WAV file and no `ffmpeg` binary is on PATH "
             "to decode it. Install ffmpeg, or convert the file to WAV "
             "(e.g. `ffmpeg -i song.mp3 song.wav`) on a machine that has it.")
-    cmd = [ffmpeg, "-v", "error"]
+    cmd = [ffmpeg, "-v", "error", "-i", path]
     if offset:
         cmd += ["-ss", f"{offset:.6f}"]
-    cmd += ["-i", path]
     if duration is not None:
         cmd += ["-t", f"{duration:.6f}"]
     cmd += ["-f", "f32le", "-acodec", "pcm_f32le", "-ar", str(int(sr)),

@@ -135,10 +135,13 @@ def test_load_audio_non_wav_uses_ffmpeg(tmp_path, monkeypatch):
     assert got_sr == sr
     np.testing.assert_array_equal(y, want)
     argv = log.read_text()
-    # ffmpeg is asked for input-side seek, bounded duration, f32le mono @ sr
+    # output-side (sample-accurate) seek + bounded duration, f32le mono @ sr
     for frag in ("-ss 1.5", "-t 2.0", "f32le", "-ar 8000", "-ac 1",
                  str(mp3)):
         assert frag in argv, (frag, argv)
+    # -ss must come AFTER -i (output-side): input seeking is codec-frame
+    # granular and smears beat alignment
+    assert argv.index("-i ") < argv.index("-ss"), argv
 
 
 def test_load_audio_wav_sniff_is_extension_agnostic(click_wav, tmp_path):
