@@ -101,6 +101,24 @@ class UNetConfig:
                    addition_embed_dim=256, addition_pooled_dim=1280)
 
     @classmethod
+    def sd_xl_refiner(cls):
+        """SDXL-refiner geometry (stabilityai/stable-diffusion-xl-refiner):
+        4 levels at (384, 768, 1536, 1536) with attention only on the middle
+        two, depth-4 transformers, bigG-only context (1280), and the 5-id
+        text_time conditioning (aesthetic score replaces target size;
+        2560 = 1280 pooled + 5x256).  Head counts are channels/64 — real
+        checkpoints load through ``_unet_config_from_json``, which derives
+        the geometry from the shipped config.json rather than this
+        constructor."""
+        return cls(sample_size=128, block_out_channels=(384, 768, 1536, 1536),
+                   cross_attention_dim=1280,
+                   attention_head_dim=(6, 12, 24, 24),
+                   attn_levels=(False, True, True, False),
+                   transformer_depth=(0, 4, 4, 0),
+                   addition_embed_dim=256, addition_pooled_dim=1280,
+                   addition_num_ids=5)
+
+    @classmethod
     def tiny(cls):
         """CPU-runnable config for tests; same code paths, ~0.5M params."""
         return cls(sample_size=8, block_out_channels=(32, 64),

@@ -552,3 +552,18 @@ def test_xl_img2img_and_inpaint(xl_pipe):
     out = xl_pipe.inpaint(img, mask, "y", num_inference_steps=4,
                           output_type="np")
     assert out.shape == (1, size, size, 3)
+
+
+def test_sd_xl_refiner_config_geometry():
+    """Refiner constructor: 4 levels, attention on the middle two at D=64,
+    depth-4 transformers, bigG-only context, 5-id text_time conditioning."""
+    cfg = UNetConfig.sd_xl_refiner()
+    assert cfg.block_out_channels == (384, 768, 1536, 1536)
+    assert cfg.attn_levels == (False, True, True, False)
+    assert cfg.cross_attention_dim == 1280
+    assert cfg.addition_num_ids == 5
+    assert cfg.addition_pooled_dim == 1280
+    # head counts = channels / 64 on the attention levels
+    assert cfg.heads(1) * 64 == 768
+    assert cfg.heads(2) * 64 == 1536
+    assert cfg.depth(1) == cfg.depth(2) == 4
