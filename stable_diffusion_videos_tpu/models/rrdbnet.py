@@ -45,6 +45,19 @@ def _lrelu(x):
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
+def pixel_unshuffle(x: jax.Array, r: int) -> jax.Array:
+    """NHWC space-to-depth matching ``torch.nn.functional.pixel_unshuffle``
+    channel ordering (out channel = c*r² + i*r + j for sub-pixel (i, j)).
+
+    basicsr's RRDBNet feeds scale-2 (scale-1) models a 2x (4x)
+    pixel-unshuffled image so the conv trunk always upsamples 4x; the
+    x2plus checkpoint's ``conv_first`` therefore has 12 input channels."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, H/r, W/r, C, i, j)
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
 class ResidualDenseBlock(nn.Module):
     num_feat: int
     num_grow_ch: int
@@ -89,6 +102,13 @@ class RRDBNet(nn.Module):
         """(B, H, W, 3) in [0,1] -> (B, scale*H, scale*W, 3) in [0,1]."""
         cfg = self.config
         x = x.astype(self.dtype)
+        # scale<4: pixel-unshuffle the input so the 4x conv trunk nets out
+        # to the requested scale (basicsr rrdbnet_arch semantics; the
+        # x2plus/x1 checkpoints' conv_first expects 12/48 input channels)
+        if cfg.scale == 2:
+            x = pixel_unshuffle(x, 2)
+        elif cfg.scale == 1:
+            x = pixel_unshuffle(x, 4)
         feat = nn.Conv(cfg.num_feat, (3, 3), padding="SAME",
                        dtype=self.dtype, name="conv_first")(x)
         body = feat
@@ -104,9 +124,10 @@ class RRDBNet(nn.Module):
             return _lrelu(nn.Conv(cfg.num_feat, (3, 3), padding="SAME",
                                   dtype=self.dtype, name=name)(h))
 
+        # the conv trunk always upsamples 4x (both up convs exist in every
+        # official checkpoint); scale<4 is absorbed by the unshuffle above
         feat = up2(feat, "conv_up1")
-        if cfg.scale == 4:
-            feat = up2(feat, "conv_up2")
+        feat = up2(feat, "conv_up2")
         feat = _lrelu(nn.Conv(cfg.num_feat, (3, 3), padding="SAME",
                               dtype=self.dtype, name="conv_hr")(feat))
         out = nn.Conv(cfg.out_channels, (3, 3), padding="SAME",

@@ -329,10 +329,9 @@ def convert_rrdbnet(sd: dict, config) -> dict:
         "conv_body": _conv(sd, "conv_body"),
         "conv_up1": _conv(sd, "conv_up1"),
         "conv_hr": _conv(sd, "conv_hr"),
+        "conv_up2": _conv(sd, "conv_up2"),
         "conv_last": _conv(sd, "conv_last"),
     }
-    if config.scale == 4:
-        p["conv_up2"] = _conv(sd, "conv_up2")
     for i in range(config.num_block):
         blk = {}
         for r in (1, 2, 3):
@@ -355,13 +354,18 @@ def load_realesrgan(path):
     last = sd["conv_last.weight"]
     n_block = 1 + max(int(k.split(".")[1]) for k in sd
                       if k.startswith("body."))
+    # every official checkpoint has both up convs; the net scale is encoded
+    # in conv_first's input width instead (3 -> x4, 12 -> x2 via 2x pixel
+    # unshuffle, 48 -> x1 via 4x unshuffle — basicsr rrdbnet_arch semantics)
+    first_in = int(first.shape[1])
+    scale = {3: 4, 12: 2, 48: 1}.get(first_in, 4)
     cfg = RRDBNetConfig(
-        in_channels=int(first.shape[1]),
+        in_channels=first_in // {4: 1, 2: 4, 1: 16}[scale],
         out_channels=int(last.shape[0]),
         num_feat=int(first.shape[0]),
         num_block=n_block,
         num_grow_ch=int(grow.shape[0]),
-        scale=4 if "conv_up2.weight" in sd else 2)
+        scale=scale)
     return cfg, _to_jnp(convert_rrdbnet(sd, cfg))
 
 

@@ -134,6 +134,88 @@ def test_rrdbnet_roundtrip_shapes():
     assert out.shape == (1, 32, 32, 3)
 
 
+@pytest.mark.parametrize("scale", [4, 2])
+def test_rrdbnet_parity_vs_torch_transcription(scale):
+    """RRDBNet vs an independent torch transcription of the basicsr
+    architecture the reference's upsampler wraps (``upsampling.py:17-28``):
+    converted random weights must reproduce the output, including the
+    pixel-unshuffle input path the x2plus checkpoint relies on."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from torch import nn as tnn
+
+    from stable_diffusion_videos_tpu.models.rrdbnet import (RRDBNet,
+                                                            RRDBNetConfig)
+    nf, g, nb = 16, 8, 2
+
+    class TRDB(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            for c in range(1, 6):
+                i, o = nf + (c - 1) * g, g if c < 5 else nf
+                setattr(self, f"conv{c}", tnn.Conv2d(i, o, 3, 1, 1))
+
+        def forward(self, x):
+            act = lambda t: F.leaky_relu(t, 0.2)
+            x1 = act(self.conv1(x))
+            x2 = act(self.conv2(torch.cat([x, x1], 1)))
+            x3 = act(self.conv3(torch.cat([x, x1, x2], 1)))
+            x4 = act(self.conv4(torch.cat([x, x1, x2, x3], 1)))
+            x5 = self.conv5(torch.cat([x, x1, x2, x3, x4], 1))
+            return x5 * 0.2 + x
+
+    class TRRDB(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rdb1, self.rdb2, self.rdb3 = TRDB(), TRDB(), TRDB()
+
+        def forward(self, x):
+            return self.rdb3(self.rdb2(self.rdb1(x))) * 0.2 + x
+
+    class TNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            in_ch = 3 * {4: 1, 2: 4, 1: 16}[scale]
+            self.conv_first = tnn.Conv2d(in_ch, nf, 3, 1, 1)
+            self.body = tnn.ModuleList(TRRDB() for _ in range(nb))
+            for name, (i, o) in {"conv_body": (nf, nf), "conv_up1": (nf, nf),
+                                 "conv_up2": (nf, nf), "conv_hr": (nf, nf),
+                                 "conv_last": (nf, 3)}.items():
+                setattr(self, name, tnn.Conv2d(i, o, 3, 1, 1))
+
+        def forward(self, x):
+            if scale == 2:
+                x = F.pixel_unshuffle(x, 2)
+            act = lambda t: F.leaky_relu(t, 0.2)
+            feat = self.conv_first(x)
+            body = feat
+            for blk in self.body:
+                body = blk(body)
+            feat = feat + self.conv_body(body)
+            up = lambda t: F.interpolate(t, scale_factor=2, mode="nearest")
+            feat = act(self.conv_up1(up(feat)))
+            feat = act(self.conv_up2(up(feat)))
+            return self.conv_last(act(self.conv_hr(feat)))
+
+    torch.manual_seed(scale)
+    tmodel = TNet()
+    # center the output inside (0,1) so the flax-side clip stays inactive
+    with torch.no_grad():
+        tmodel.conv_last.weight *= 0.05
+        tmodel.conv_last.bias[:] = 0.5
+    x = torch.rand(1, 3, 16, 16)
+    with torch.no_grad():
+        want = tmodel(x).clamp(0, 1).numpy().transpose(0, 2, 3, 1)
+    assert ((want > 0.01) & (want < 0.99)).mean() > 0.5  # clip inactive
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    cfg = RRDBNetConfig(num_feat=nf, num_block=nb, num_grow_ch=g, scale=scale)
+    params = W._to_jnp(W.convert_rrdbnet(sd, cfg))
+    got = RRDBNet(cfg).apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+    assert got.shape == (1, 16 * scale, 16 * scale, 3)
+
+
 def test_clip_vision_parity_vs_transformers():
     """Safety-checker vision tower vs a real transformers CLIPVisionModel
     (random init, tiny config): converted weights must reproduce the pooled
