@@ -98,12 +98,14 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
         from .flash_attention import flash_attention
         sq, sk = q.shape[1], k.shape[1]
         if sq >= 8192:
-            # high-res tiles (tools/profile2_r02.json "flash_highres"):
-            # q512/k1024 at S=9216 (+15% over the S=4096-tuned default),
-            # q512/k2048 at S=16384 (+32%); tk must divide Sk or the
-            # kernel falls back to XLA
+            # high-res tiles: the optimum k tile is ~1536-2048 and bigger
+            # is NOT better (probe_r03.json "flash_ktile_big": S=16384
+            # k2048 31.7 TF/s > k4096 29.4, k8192+ exceeds VMEM; S=9216
+            # k1536 27.6 > k4608 26.5 > the old k1024 fallback 24.7);
+            # tk must divide Sk or the kernel falls back to XLA
             tq = 512
-            tk = 2048 if sk % 2048 == 0 else 1024
+            tk = next((t for t in (2048, 1536, 1024, 768, 512)
+                       if sk % t == 0), min(sk, 512))
         elif q.shape[-1] == 64:
             # D=64 materialization-route tiles (r3 sweep, probe_r03.json
             # "flash_d64"): the k tile wants the WHOLE sequence — q256/k4096

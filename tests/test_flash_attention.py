@@ -95,9 +95,10 @@ def test_auto_backend_routing():
 
 
 def test_highres_tile_policy(monkeypatch):
-    """attention() picks swept tiles by sequence length (S>=8192: q512,
-    k2048 when it divides Sk, else k1024) and the S=4096-tuned default
-    otherwise — pins the measured policy from profile2_r02.json."""
+    """attention() picks swept tiles by sequence length (S>=8192: q512 with
+    the largest k tile <= 2048 dividing Sk — the optimum is ~1536-2048,
+    probe_r03.json "flash_ktile_big") and the S=4096-tuned default
+    otherwise — pins the measured policy."""
     import importlib
 
     import jax.numpy as jnp
@@ -122,7 +123,7 @@ def test_highres_tile_policy(monkeypatch):
         return seen["tiles"]
 
     assert run(16384, 16384) == (512, 2048)
-    assert run(9216, 9216) == (512, 1024)   # 9216 % 2048 != 0
+    assert run(9216, 9216) == (512, 1536)   # 9216 % 2048 != 0; 1536 divides
     assert run(4096, 4096) == (256, 1024)   # the S=4096-tuned default
     assert run(4096, 77) == (256, 77)
 
