@@ -14,8 +14,16 @@ import sys
 
 def _add_common(ap):
     ap.add_argument("--checkpoint", default=None,
-                    help="local diffusers-layout SD v1.x dir (omit for tiny "
-                         "random model)")
+                    help="local diffusers-layout dir, hub id, or a single "
+                         "original-layout .ckpt/.safetensors file (omit "
+                         "for tiny random model)")
+    ap.add_argument("--tokenizer-dir", default=None, metavar="DIR",
+                    help="vocab.json+merges.txt dir, required with a "
+                         "single-file --checkpoint (they carry no vocab)")
+    ap.add_argument("--prediction-type", default=None,
+                    choices=["epsilon", "v_prediction"],
+                    help="single-file checkpoints only: v_prediction for "
+                         "v-models (SD2-768); default epsilon")
     ap.add_argument("--scheduler", default="pndm",
                     choices=["pndm", "ddim", "lms", "euler",
                              "euler_ancestral", "dpm"])
@@ -45,7 +53,9 @@ def _pipeline(args):
               file=sys.stderr)
         return StableDiffusionWalkPipeline.tiny(**kw)
     return StableDiffusionWalkPipeline.from_pretrained(
-        args.checkpoint, tiled=args.tiled, **kw)
+        args.checkpoint, tiled=args.tiled,
+        tokenizer_dir=getattr(args, "tokenizer_dir", None),
+        prediction_type=getattr(args, "prediction_type", None), **kw)
 
 
 def cmd_walk(args):
@@ -94,8 +104,10 @@ def cmd_app(args):
 
 def cmd_convert(args):
     from .models.bundle import SDModels
-    models = SDModels.from_pretrained(args.checkpoint,
-                                      with_safety=not args.no_safety)
+    models = SDModels.from_pretrained(
+        args.checkpoint, with_safety=not args.no_safety,
+        tokenizer_dir=getattr(args, "tokenizer_dir", None),
+        prediction_type=getattr(args, "prediction_type", None))
     out = models.save(args.out)
     print(out)
     for k, n in models.param_count().items():
@@ -191,10 +203,14 @@ def build_parser() -> argparse.ArgumentParser:
     app.set_defaults(fn=cmd_app)
 
     cv = sub.add_parser("convert",
-                        help="diffusers checkpoint dir -> native bundle")
+                        help="diffusers dir or single .ckpt/.safetensors "
+                             "-> native bundle")
     cv.add_argument("--checkpoint", required=True)
     cv.add_argument("--out", required=True)
     cv.add_argument("--no-safety", action="store_true")
+    cv.add_argument("--tokenizer-dir", default=None, metavar="DIR")
+    cv.add_argument("--prediction-type", default=None,
+                    choices=["epsilon", "v_prediction"])
     cv.set_defaults(fn=cmd_convert)
 
     cmp_ = sub.add_parser("compare",

@@ -161,10 +161,23 @@ class SDModels:
 
     @classmethod
     def from_pretrained(cls, path: str, dtype=jnp.bfloat16,
-                        tiled: bool = False,
-                        with_safety: bool = True) -> "SDModels":
-        """Load a diffusers-layout SD v1.x checkpoint directory (safetensors)
-        and convert to this framework's pytrees.  See ``models/weights.py``."""
+                        tiled: bool = False, with_safety: bool = True,
+                        tokenizer_dir=None,
+                        prediction_type=None) -> "SDModels":
+        """Load a checkpoint and convert to this framework's pytrees.
+
+        ``path`` may be a diffusers-layout directory / hub id
+        (``models/weights.py``) OR a single original-layout
+        ``.ckpt``/``.safetensors`` file (``models/ldm.py`` — SD1/SD2/SDXL,
+        geometry inferred from shapes).  ``tokenizer_dir`` and
+        ``prediction_type`` apply to single files only, which carry
+        neither a vocab nor a scheduler config."""
+        from pathlib import Path
+        if Path(path).is_file():
+            from .ldm import load_ldm_checkpoint
+            return load_ldm_checkpoint(
+                path, tokenizer_dir=tokenizer_dir, dtype=dtype, tiled=tiled,
+                prediction_type=prediction_type, cls=cls)
         from .weights import load_sd_checkpoint
         return load_sd_checkpoint(path, dtype=dtype, tiled=tiled,
                                   with_safety=with_safety, cls=cls)

@@ -120,11 +120,21 @@ def _attn_inner(sd, pfx):
     }
 
 
+def _conv1x1_or_lin(sd, name):
+    """1x1 conv weights, accepting the 2-D Linear form SD2.x/SDXL store
+    (``use_linear_projection`` — a Linear over NHWC channels IS a 1x1
+    conv; our SpatialTransformer always uses the conv)."""
+    w = sd[f"{name}.weight"]
+    if w.ndim == 2:
+        w = w[:, :, None, None]
+    return {"kernel": t_conv(w), "bias": sd[f"{name}.bias"]}
+
+
 def _transformer(sd, pfx, depth):
     out = {
         "norm": _gn32(sd, f"{pfx}.norm"),
-        "proj_in": _conv(sd, f"{pfx}.proj_in"),
-        "proj_out": _conv(sd, f"{pfx}.proj_out"),
+        "proj_in": _conv1x1_or_lin(sd, f"{pfx}.proj_in"),
+        "proj_out": _conv1x1_or_lin(sd, f"{pfx}.proj_out"),
     }
     for i in range(depth):
         b = f"{pfx}.transformer_blocks.{i}"

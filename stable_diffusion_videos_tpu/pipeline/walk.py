@@ -87,14 +87,18 @@ class StableDiffusionWalkPipeline:
     @classmethod
     def from_pretrained(cls, path: str, scheduler: str = "pndm",
                         tiled: bool = False, dtype=None,
+                        tokenizer_dir=None, prediction_type=None,
                         **kw) -> "StableDiffusionWalkPipeline":
-        """Load a diffusers-layout SD v1.x checkpoint directory.  ``tiled``
+        """Load a diffusers-layout checkpoint directory / hub id, or a
+        single original-layout ``.ckpt``/``.safetensors`` file (pass
+        ``tokenizer_dir`` — single files carry no vocab).  ``tiled``
         replaces the reference's conv monkey-patch
         (``stable_diffusion_pipeline.py:840-858``) with explicit circular
         convs."""
         import jax.numpy as jnp
         models = SDModels.from_pretrained(
-            path, dtype=dtype or jnp.bfloat16, tiled=tiled)
+            path, dtype=dtype or jnp.bfloat16, tiled=tiled,
+            tokenizer_dir=tokenizer_dir, prediction_type=prediction_type)
         return cls(models, scheduler=scheduler, **kw)
 
     # ------------------------------------------------------------------
