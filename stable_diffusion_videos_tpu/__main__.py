@@ -42,13 +42,25 @@ def _add_common(ap):
                     help="DeepCache acceleration: recompute the deep UNet "
                          "trunk every K steps (approximate; ~1.4-1.7x at "
                          "K=2-3, see docs/performance.md)")
+    ap.add_argument("--lora", action="append", default=None,
+                    metavar="PATH[:SCALE]",
+                    help="kohya/diffusers LoRA .safetensors (or trainer "
+                         ".npz) merged into the model; repeatable")
 
 
 def _pipeline(args):
     from .pipeline import StableDiffusionWalkPipeline
     kw = dict(scheduler=args.scheduler,
               step_cache=getattr(args, "step_cache", None))
+    lora = getattr(args, "lora", None)
+    if lora:
+        from .models.lora_file import parse_lora_arg
+        kw["lora"] = [parse_lora_arg(a) for a in lora]
     if args.checkpoint is None:
+        if lora:
+            print("--lora requires --checkpoint (adapters need a base "
+                  "model)", file=sys.stderr)
+            raise SystemExit(2)
         print("no --checkpoint: using random tiny model (smoke mode)",
               file=sys.stderr)
         return StableDiffusionWalkPipeline.tiny(**kw)

@@ -88,17 +88,26 @@ class StableDiffusionWalkPipeline:
     def from_pretrained(cls, path: str, scheduler: str = "pndm",
                         tiled: bool = False, dtype=None,
                         tokenizer_dir=None, prediction_type=None,
+                        lora=None, lora_scale: float = 1.0,
                         **kw) -> "StableDiffusionWalkPipeline":
         """Load a diffusers-layout checkpoint directory / hub id, or a
         single original-layout ``.ckpt``/``.safetensors`` file (pass
         ``tokenizer_dir`` — single files carry no vocab).  ``tiled``
         replaces the reference's conv monkey-patch
         (``stable_diffusion_pipeline.py:840-858``) with explicit circular
-        convs."""
+        convs.  ``lora``: one or a list of kohya/diffusers LoRA
+        ``.safetensors`` (or trainer ``.npz``) adapters, merged host-side
+        before compile (``models/lora_file.py``); list items may be
+        ``(path, scale)`` pairs, ``lora_scale`` is the shared default."""
         import jax.numpy as jnp
         models = SDModels.from_pretrained(
             path, dtype=dtype or jnp.bfloat16, tiled=tiled,
             tokenizer_dir=tokenizer_dir, prediction_type=prediction_type)
+        if lora is not None:
+            from ..models.lora_file import apply_loras
+            if isinstance(lora, (str, Path)):
+                lora = [lora]
+            models = apply_loras(models, lora, scale=lora_scale)
         return cls(models, scheduler=scheduler, **kw)
 
     # ------------------------------------------------------------------
