@@ -46,6 +46,11 @@ def _add_common(ap):
                     metavar="PATH[:SCALE]",
                     help="kohya/diffusers LoRA .safetensors (or trainer "
                          ".npz) merged into the model; repeatable")
+    ap.add_argument("--textual-inversion", action="append", default=None,
+                    metavar="PATH[:TOKEN]",
+                    help="textual-inversion embedding file (diffusers "
+                         "learned_embeds / A1111 .pt / SDXL clip_l+clip_g) "
+                         "spliced into the tokenizer+text tower; repeatable")
 
 
 def _pipeline(args):
@@ -56,10 +61,14 @@ def _pipeline(args):
     if lora:
         from .models.lora_file import parse_lora_arg
         kw["lora"] = [parse_lora_arg(a) for a in lora]
+    ti = getattr(args, "textual_inversion", None)
+    if ti:
+        from .models.textual_inversion import parse_ti_arg
+        kw["textual_inversion"] = [parse_ti_arg(a) for a in ti]
     if args.checkpoint is None:
-        if lora:
-            print("--lora requires --checkpoint (adapters need a base "
-                  "model)", file=sys.stderr)
+        if lora or ti:
+            print("--lora/--textual-inversion require --checkpoint "
+                  "(adapters need a base model)", file=sys.stderr)
             raise SystemExit(2)
         print("no --checkpoint: using random tiny model (smoke mode)",
               file=sys.stderr)

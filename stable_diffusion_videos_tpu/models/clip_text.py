@@ -44,6 +44,12 @@ class CLIPTextConfig:
     #: towers whose pooled embedding feeds SDXL's addition conditioning)
     projection_dim: Union[int, None] = flax.struct.field(pytree_node=False,
                                                          default=None)
+    #: explicit EOS id for the pooled-output lookup.  None keeps CLIP's
+    #: classic ``argmax(input_ids)`` (EOS is the highest id in the stock
+    #: vocab); it MUST be set once the vocab is extended past EOS
+    #: (textual-inversion tokens), where argmax would pick the new ids
+    eos_token_id: Union[int, None] = flax.struct.field(pytree_node=False,
+                                                       default=None)
 
     @classmethod
     def sd_v1(cls):
@@ -130,8 +136,15 @@ class CLIPTextEncoder(nn.Module):
                 penult = x  # HF hidden_states[-2]: after layer L-1, pre-LN
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="final_layer_norm")(x)
-        # pooled output: features at the EOS token (highest token id in CLIP)
-        eos_idx = jnp.argmax(input_ids, axis=-1)
+        # pooled output: features at the EOS token.  Stock vocab: EOS is the
+        # highest id, argmax finds its first occurrence; an extended vocab
+        # (textual inversion) carries ids above EOS, so the config pins the
+        # id and we take the first exact match instead.
+        if cfg.eos_token_id is None:
+            eos_idx = jnp.argmax(input_ids, axis=-1)
+        else:
+            eos_idx = jnp.argmax(
+                (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
         pooled = x[jnp.arange(x.shape[0]), eos_idx]
         if cfg.projection_dim is not None:
             pooled = nn.Dense(cfg.projection_dim, use_bias=False,

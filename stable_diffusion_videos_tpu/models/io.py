@@ -36,7 +36,18 @@ def save_bundle(models, path) -> str:
     """Write an SDModels bundle to ``path/`` (one .msgpack per component +
     bundle.json).  Tokenizer vocab files are copied when the tokenizer is
     file-backed."""
-    from .tokenizer import CLIPBPETokenizer
+    from .tokenizer import CLIPBPETokenizer, TextualInversionTokenizer
+
+    def unwrap(tok):
+        return tok.base if isinstance(tok, TextualInversionTokenizer) \
+            else tok
+
+    def triggers(tok):
+        return tok.triggers if isinstance(tok, TextualInversionTokenizer) \
+            else None
+
+    base_tok = unwrap(models.tokenizer)
+    base_tok2 = unwrap(models.tokenizer_2) if models.tokenizer_2 else None
 
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
@@ -53,23 +64,27 @@ def save_bundle(models, path) -> str:
         "safety_config": (_cfg_to_dict(models.safety_config)
                           if models.safety_config else None),
         "components": sorted(models.params.keys()),
-        "tokenizer": ("bpe" if isinstance(models.tokenizer, CLIPBPETokenizer)
+        "tokenizer": ("bpe" if isinstance(base_tok, CLIPBPETokenizer)
                       else "hash"),
-        "tokenizer_vocab_size": getattr(models.tokenizer, "vocab_size", None),
+        "tokenizer_vocab_size": getattr(base_tok, "vocab_size", None),
+        # textual-inversion trigger -> learned-id splices (the learned
+        # vectors themselves live in the params msgpack already)
+        "ti_triggers": triggers(models.tokenizer),
+        "ti_triggers_2": triggers(models.tokenizer_2),
     }
     (path / "bundle.json").write_text(json.dumps(meta, indent=2))
-    if isinstance(models.tokenizer, CLIPBPETokenizer):
+    if isinstance(base_tok, CLIPBPETokenizer):
         import shutil
         tok_dir = path / "tokenizer"
         tok_dir.mkdir(exist_ok=True)
-        shutil.copy(models.tokenizer.vocab_path, tok_dir / "vocab.json")
-        shutil.copy(models.tokenizer.merges_path, tok_dir / "merges.txt")
-    if isinstance(models.tokenizer_2, CLIPBPETokenizer):
+        shutil.copy(base_tok.vocab_path, tok_dir / "vocab.json")
+        shutil.copy(base_tok.merges_path, tok_dir / "merges.txt")
+    if isinstance(base_tok2, CLIPBPETokenizer):
         import shutil
         tok_dir = path / "tokenizer_2"
         tok_dir.mkdir(exist_ok=True)
-        shutil.copy(models.tokenizer_2.vocab_path, tok_dir / "vocab.json")
-        shutil.copy(models.tokenizer_2.merges_path, tok_dir / "merges.txt")
+        shutil.copy(base_tok2.vocab_path, tok_dir / "vocab.json")
+        shutil.copy(base_tok2.merges_path, tok_dir / "merges.txt")
     for name, tree in models.params.items():
         host = jax.tree.map(np.asarray, tree)
         (path / f"{name}.msgpack").write_bytes(
@@ -83,7 +98,8 @@ def load_bundle(path, dtype=None, cls=None):
     from .bundle import SDModels
     from .clip_text import CLIPTextConfig
     from .safety import CLIPVisionConfig, SafetyConfig
-    from .tokenizer import CLIPBPETokenizer, HashTokenizer
+    from .tokenizer import (CLIPBPETokenizer, HashTokenizer,
+                            TextualInversionTokenizer)
     from .unet import UNetConfig
     from .vae import VAEConfig
 
@@ -129,6 +145,12 @@ def load_bundle(path, dtype=None, cls=None):
     tokenizer_2 = (CLIPBPETokenizer(tok2_dir / "vocab.json",
                                     tok2_dir / "merges.txt", pad_token_id=0)
                    if tok2_dir.exists() else None)
+    base_tok = tokenizer
+    if meta.get("ti_triggers"):
+        tokenizer = TextualInversionTokenizer(tokenizer, meta["ti_triggers"])
+    if meta.get("ti_triggers_2"):
+        tokenizer_2 = TextualInversionTokenizer(tokenizer_2 or base_tok,
+                                                meta["ti_triggers_2"])
 
     load_dtype = dtype or jnp.dtype(meta["dtype"])
     return cls(ucfg, vcfg, tcfg, params, tokenizer, scfg,

@@ -148,6 +148,42 @@ class CLIPBPETokenizer(BaseTokenizer):
         return ids
 
 
+class TextualInversionTokenizer(BaseTokenizer):
+    """Wraps any tokenizer with trigger-word -> learned-token-id splicing.
+
+    ``triggers`` maps a trigger string (e.g. ``"<concept>"``) to the list of
+    consecutive vocabulary ids holding its learned vectors (multi-vector
+    embeddings expand to several ids).  Matching is case-insensitive —
+    CLIP's tokenizer lowercases prompts, so triggers must survive that."""
+
+    def __init__(self, base: BaseTokenizer, triggers: dict[str, list[int]]):
+        self.base = base
+        self.triggers = {k.lower(): [int(i) for i in v]
+                         for k, v in triggers.items()}
+        self.model_max_length = base.model_max_length
+        self.bos_token_id = base.bos_token_id
+        self.eos_token_id = base.eos_token_id
+        self.pad_token_id = base.pad_token_id
+        self._pat = re.compile(
+            "(" + "|".join(re.escape(t) for t in
+                           sorted(self.triggers, key=len, reverse=True))
+            + ")", re.IGNORECASE)
+
+    def with_trigger(self, trigger: str,
+                     ids: list[int]) -> "TextualInversionTokenizer":
+        return TextualInversionTokenizer(
+            self.base, {**self.triggers, trigger: ids})
+
+    def encode(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for part in self._pat.split(text):
+            if not part:
+                continue
+            hit = self.triggers.get(part.lower())
+            ids.extend(hit if hit is not None else self.base.encode(part))
+        return ids
+
+
 class HFTokenizerAdapter(BaseTokenizer):
     def __init__(self, hf_tokenizer):
         self.tok = hf_tokenizer

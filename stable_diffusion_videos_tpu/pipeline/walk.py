@@ -89,6 +89,7 @@ class StableDiffusionWalkPipeline:
                         tiled: bool = False, dtype=None,
                         tokenizer_dir=None, prediction_type=None,
                         lora=None, lora_scale: float = 1.0,
+                        textual_inversion=None,
                         **kw) -> "StableDiffusionWalkPipeline":
         """Load a diffusers-layout checkpoint directory / hub id, or a
         single original-layout ``.ckpt``/``.safetensors`` file (pass
@@ -98,7 +99,10 @@ class StableDiffusionWalkPipeline:
         convs.  ``lora``: one or a list of kohya/diffusers LoRA
         ``.safetensors`` (or trainer ``.npz``) adapters, merged host-side
         before compile (``models/lora_file.py``); list items may be
-        ``(path, scale)`` pairs, ``lora_scale`` is the shared default."""
+        ``(path, scale)`` pairs, ``lora_scale`` is the shared default.
+        ``textual_inversion``: one or a list of textual-inversion embedding
+        files (``models/textual_inversion.py``); list items may be
+        ``(path, trigger_token)`` pairs."""
         import jax.numpy as jnp
         models = SDModels.from_pretrained(
             path, dtype=dtype or jnp.bfloat16, tiled=tiled,
@@ -108,6 +112,11 @@ class StableDiffusionWalkPipeline:
             if isinstance(lora, (str, Path)):
                 lora = [lora]
             models = apply_loras(models, lora, scale=lora_scale)
+        if textual_inversion is not None:
+            from ..models.textual_inversion import apply_textual_inversions
+            if isinstance(textual_inversion, (str, Path)):
+                textual_inversion = [textual_inversion]
+            models = apply_textual_inversions(models, textual_inversion)
         return cls(models, scheduler=scheduler, **kw)
 
     # ------------------------------------------------------------------
