@@ -25,7 +25,7 @@ def _add_common(ap):
                     help="single-file checkpoints only: v_prediction for "
                          "v-models (SD2-768); default epsilon")
     ap.add_argument("--scheduler", default="pndm",
-                    choices=["pndm", "ddim", "lms", "euler",
+                    choices=["pndm", "ddim", "lms", "euler", "unipc",
                              "euler_ancestral", "dpm"])
     ap.add_argument("--tiled", action="store_true",
                     help="circular convs -> seamlessly tileable frames")
@@ -38,6 +38,15 @@ def _add_common(ap):
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--negative-prompt", default=None)
+    ap.add_argument("--prompt-weighting", action="store_true",
+                    help="enable (emphasis:1.3) / [de-emphasis] prompt "
+                         "syntax and >77-token prompt chunking (A1111 "
+                         "grammar; BREAK forces a window boundary)")
+    ap.add_argument("--guidance-rescale", type=float, default=0.0,
+                    metavar="PHI",
+                    help="std-rescaled CFG weight in [0,1] (Lin et al. "
+                         "2024; 0.7 for zero-terminal-SNR v-prediction "
+                         "checkpoints, 0 = plain CFG)")
     ap.add_argument("--step-cache", type=int, default=None, metavar="K",
                     help="DeepCache acceleration: recompute the deep UNet "
                          "trunk every K steps (approximate; ~1.4-1.7x at "
@@ -56,7 +65,9 @@ def _add_common(ap):
 def _pipeline(args):
     from .pipeline import StableDiffusionWalkPipeline
     kw = dict(scheduler=args.scheduler,
-              step_cache=getattr(args, "step_cache", None))
+              step_cache=getattr(args, "step_cache", None),
+              guidance_rescale=getattr(args, "guidance_rescale", 0.0),
+              prompt_weighting=getattr(args, "prompt_weighting", False))
     lora = getattr(args, "lora", None)
     if lora:
         from .models.lora_file import parse_lora_arg

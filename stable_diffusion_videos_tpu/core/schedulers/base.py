@@ -57,6 +57,12 @@ class SchedulerConfig:
     #: (quality option for the sigma-space samplers)
     use_karras_sigmas: bool = flax.struct.field(pytree_node=False,
                                                 default=False)
+    #: rescale the beta schedule so the terminal SNR is exactly zero
+    #: (Lin et al. 2024, "Common Diffusion Noise Schedules and Sample Steps
+    #: are Flawed") — required for checkpoints fine-tuned with zero-SNR
+    #: v-prediction; pairs with ``timestep_spacing='trailing'``
+    rescale_betas_zero_snr: bool = flax.struct.field(pytree_node=False,
+                                                     default=False)
 
 
 def betas_for_schedule(cfg: SchedulerConfig) -> np.ndarray:
@@ -75,8 +81,26 @@ def betas_for_schedule(cfg: SchedulerConfig) -> np.ndarray:
     raise ValueError(f"unknown beta_schedule {cfg.beta_schedule!r}")
 
 
+def rescale_zero_terminal_snr(alphas_cumprod: np.ndarray) -> np.ndarray:
+    """Shift+scale sqrt(alpha_bar) so the last train step has SNR == 0.
+
+    The linear map in sqrt-space keeps the first step's SNR and zeroes the
+    last (Lin et al. 2024 §4, the published fix).  The terminal value is
+    clamped to 2**-24 instead of exact 0 so sigma-space samplers
+    (sigma = sqrt((1-a)/a)) stay finite."""
+    sqrt_acp = np.sqrt(alphas_cumprod)
+    a0, aT = sqrt_acp[0], sqrt_acp[-1]
+    sqrt_acp = (sqrt_acp - aT) * (a0 / (a0 - aT))
+    acp = sqrt_acp ** 2
+    acp[-1] = max(acp[-1], 2.0 ** -24)
+    return acp
+
+
 def alphas_cumprod_for(cfg: SchedulerConfig) -> np.ndarray:
-    return np.cumprod(1.0 - betas_for_schedule(cfg))
+    acp = np.cumprod(1.0 - betas_for_schedule(cfg))
+    if cfg.rescale_betas_zero_snr:
+        acp = rescale_zero_terminal_snr(acp)
+    return acp
 
 
 def check_num_steps(cfg: SchedulerConfig, num_inference_steps: int):
@@ -207,8 +231,8 @@ def register(cls):
 
 def get_scheduler(name: str) -> Scheduler:
     """Look up a sampler by name ('ddim', 'pndm', 'lms', 'euler',
-    'euler_ancestral', 'dpm')."""
-    from . import ddim, dpm, euler, lms, pndm  # noqa: F401  (registration)
+    'euler_ancestral', 'dpm', 'unipc')."""
+    from . import ddim, dpm, euler, lms, pndm, unipc  # noqa: F401  (registration)
     if name not in _REGISTRY:
         raise KeyError(f"unknown scheduler {name!r}; have {sorted(_REGISTRY)}")
     return _REGISTRY[name]

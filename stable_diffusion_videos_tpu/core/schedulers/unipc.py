@@ -1,0 +1,166 @@
+"""UniPC multistep predictor–corrector sampler (order 2, B(h)=e^h-1).
+
+Zhao et al. 2023, "UniPC: A Unified Predictor-Corrector Framework for Fast
+Sampling of Diffusion Models" — a 7th sampler beyond the reference's six
+(``stable_diffusion_pipeline.py:17-24``): its UniC corrector reuses each
+step's fresh model evaluation to refine the *previous* update, buying
+roughly one order of accuracy at zero extra UNet calls; at 10-20 steps it
+is the strongest quality/step trade in the suite.
+
+Structure per loop index i (one UNet call, like every multistep sampler):
+
+1. the model evaluates at (x_i, t_i) -> x0-prediction ``m_t``;
+2. **UniC**: x_i is recomputed from the stored x_{i-1} using m_t as the
+   extra (implicit) node — order ramps 1 -> 2 as history fills;
+3. **UniP**: the corrected x_i steps to x_{i+1}.  At order 2 with
+   B(h)=e^h-1 ("bh2") UniP is algebraically identical to DPM-Solver++(2M);
+   the corrector is what UniPC adds.
+
+TPU-first like the rest of the suite: every per-step scalar — the phi
+functions, the 2x2 solve for the corrector weights rho_c, the order-ramp
+selections — is precomputed on the host into dense tables, so the device
+step is branch-free elementwise work inside the single fused ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import (Scheduler, SchedulerConfig, alphas_cumprod_for,
+                   check_num_steps, register)
+
+
+def _bh2_b01(hh: float):
+    """b-vector entries for order 2 with B(h)=expm1(hh) (the 'bh2' variant):
+    b_k = phi_{k+1}(hh) * k! / B(h) from the paper's Taylor construction."""
+    phi1 = np.expm1(hh)
+    b_h = phi1
+    h_phi_k = phi1 / hh - 1.0           # phi_2 * hh ... the running term
+    b0 = h_phi_k / b_h
+    h_phi_k = h_phi_k / hh - 0.5        # next Taylor remainder
+    b1 = 2.0 * h_phi_k / b_h
+    return b0, b1
+
+
+@register
+class UniPC(Scheduler):
+    name = "unipc"
+    stochastic = False
+
+    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int):
+        check_num_steps(cfg, num_inference_steps + 1)
+        acp = alphas_cumprod_for(cfg)
+        n = cfg.num_train_timesteps
+        # same (steps+1)-point grid as our DPM-Solver++ (terminal dropped)
+        if cfg.timestep_spacing == "linspace":
+            ts = (np.linspace(0, n - 1, num_inference_steps + 1)
+                  .round()[::-1][:-1].astype(np.int64))
+        else:
+            ratio = n // (num_inference_steps + 1)
+            ts = ((np.arange(0, num_inference_steps + 1) * ratio)
+                  .round()[::-1][:-1].astype(np.int64)) + cfg.steps_offset
+
+        alpha = np.sqrt(acp)
+        sigma = np.sqrt(1.0 - acp)
+        lam = np.log(alpha) - np.log(sigma)
+
+        steps = num_inference_steps
+        t_cur = ts
+        t_next = np.concatenate([ts[1:], [0]])
+        t_prev = np.concatenate([[ts[0]], ts[:-1]])      # t_{i-1} (i>=1)
+        t_prev2 = np.concatenate([[ts[0]], t_prev[:-1]])  # t_{i-2} (i>=2)
+
+        # ---- predictor t_i -> t_{i+1} --------------------------------
+        h_p = lam[t_next] - lam[t_cur]
+        phi1_p = np.expm1(-h_p)                 # hh = -h (data prediction)
+        r0_p = (lam[t_prev] - lam[t_cur]) / np.where(h_p == 0, 1.0, h_p)
+        r0_p = np.where(np.abs(r0_p) < 1e-20, 1.0, r0_p)
+        # order ramp: first step has no history; final step drops to order
+        # 1 (lower_order_final, the multistep stability standard)
+        rp0 = np.full(steps, 0.5)
+        rp0[0] = 0.0
+        if cfg.lower_order_final and steps > 1:
+            rp0[-1] = 0.0
+
+        # ---- corrector t_{i-1} -> t_i (applied for i >= 1) ------------
+        h_c = lam[t_cur] - lam[t_prev]
+        h_c_safe = np.where(h_c == 0, 1.0, h_c)
+        phi1_c = np.expm1(-h_c)
+        r0_c = (lam[t_prev2] - lam[t_prev]) / h_c_safe
+        r0_c = np.where(np.abs(r0_c) < 1e-20, 1.0, r0_c)
+        rc0 = np.zeros(steps)   # weight of the history difference D1s[0]
+        rc1 = np.zeros(steps)   # weight of the fresh difference D1_t
+        use_corr = np.zeros(steps, dtype=bool)
+        for i in range(1, steps):
+            use_corr[i] = True
+            if i == 1:
+                rc1[i] = 0.5    # order-1 corrector: rho_c = [1/2]
+                continue
+            b0, b1 = _bh2_b01(-h_c[i])
+            # solve [[1, 1], [r0, 1]] @ [c0, c1] = [b0, b1]
+            denom = 1.0 - r0_c[i]
+            if abs(denom) < 1e-12:
+                rc1[i] = 0.5
+                continue
+            rc0[i] = (b0 - b1) / denom
+            rc1[i] = b0 - rc0[i]
+
+        f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+        return {
+            "timesteps": jnp.asarray(t_cur, jnp.int32),
+            "alphas_cumprod": f32(acp),
+            "alpha_cur": f32(alpha[t_cur]),
+            "sigma_cur": f32(sigma[t_cur]),
+            "s_ratio_p": f32(sigma[t_next] / sigma[t_cur]),
+            "alpha_next": f32(alpha[t_next]),
+            "phi1_p": f32(phi1_p),
+            "r0_p": f32(r0_p),
+            "rp0": f32(rp0),
+            "s_ratio_c": f32(sigma[t_cur] / sigma[t_prev]),
+            "alpha_c": f32(alpha[t_cur]),
+            "phi1_c": f32(phi1_c),
+            "r0_c": f32(r0_c),
+            "rc0": f32(rc0),
+            "rc1": f32(rc1),
+            "use_corr": jnp.asarray(use_corr),
+            "init_noise_sigma": jnp.float32(1.0),
+            "prediction_type": cfg.prediction_type,
+        }
+
+    def init_state(self, tables, latent_shape, key=None):
+        z = jnp.zeros(tuple(latent_shape), jnp.float32)
+        return {"m0": z, "m1": z, "x_prev": z}
+
+    def step(self, tables, state, i, model_output, sample):
+        x = sample.astype(jnp.float32)
+        eps = model_output.astype(jnp.float32)
+        a_c, s_c = tables["alpha_cur"][i], tables["sigma_cur"][i]
+        if tables["prediction_type"] == "epsilon":
+            m_t = (x - s_c * eps) / a_c
+        elif tables["prediction_type"] == "v_prediction":
+            m_t = a_c * x - s_c * eps
+        else:
+            m_t = eps
+
+        m0, m1, x_prev = state["m0"], state["m1"], state["x_prev"]
+
+        # UniC: refine x_i from x_{i-1} with the fresh evaluation folded in
+        d1_t = m_t - m0
+        d1_c = (m1 - m0) / tables["r0_c"][i]
+        x_corr = (tables["s_ratio_c"][i] * x_prev
+                  - tables["alpha_c"][i]
+                  * (tables["phi1_c"][i] * m0
+                     + tables["phi1_c"][i]            # B_h == phi1 (bh2)
+                     * (tables["rc0"][i] * d1_c + tables["rc1"][i] * d1_t)))
+        x = jnp.where(tables["use_corr"][i], x_corr, x)
+
+        # UniP: step the corrected sample forward (== DPM++(2M) at order 2)
+        d1_p = (m0 - m_t) / tables["r0_p"][i]
+        x_next = (tables["s_ratio_p"][i] * x
+                  - tables["alpha_next"][i]
+                  * (tables["phi1_p"][i] * m_t
+                     + tables["phi1_p"][i] * tables["rp0"][i] * d1_p))
+
+        new_state = {"m0": m_t, "m1": m0, "x_prev": x}
+        return new_state, x_next.astype(sample.dtype)

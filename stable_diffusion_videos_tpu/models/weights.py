@@ -580,6 +580,9 @@ def load_sd_checkpoint(path: str, dtype=jnp.bfloat16, tiled: bool = False,
         clip_sample=scfg_json.get("clip_sample", False),
         set_alpha_to_one=scfg_json.get("set_alpha_to_one", False),
         skip_prk_steps=scfg_json.get("skip_prk_steps", True),
+        timestep_spacing=scfg_json.get("timestep_spacing", "leading"),
+        rescale_betas_zero_snr=scfg_json.get("rescale_betas_zero_snr",
+                                             False),
     )
     logger.info("loaded checkpoint %s (unet %s, vae %s%s)", root,
                 ucfg.block_out_channels, vcfg.block_out_channels,

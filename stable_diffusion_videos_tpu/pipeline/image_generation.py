@@ -67,8 +67,17 @@ def generate_images(pipeline, prompt: str, batch_size: Optional[int] = 1,
     if upsample:
         pipeline._ensure_upsampler(upsample_weights)
 
-    embed = pipeline.engine.embed_text(prompt)
-    uncond = pipeline.engine.embed_text(negative_prompt or "")
+    if getattr(pipeline, "prompt_weighting", False):
+        from ..core.prompt_weighting import chunks_needed
+        tok = pipeline.models.tokenizer
+        n = max(chunks_needed(tok, t)
+                for t in (prompt, negative_prompt or ""))
+        embed = pipeline.engine.embed_text_weighted(prompt, n)
+        uncond = pipeline.engine.embed_text_weighted(negative_prompt or "",
+                                                     n)
+    else:
+        embed = pipeline.engine.embed_text(prompt)
+        uncond = pipeline.engine.embed_text(negative_prompt or "")
     latent_shape = pipeline._latent_shape(height, width)
 
     frame_filepaths = []

@@ -52,12 +52,19 @@ class StableDiffusionWalkPipeline:
                  embed_interp: str = "lerp", noise_interp: str = "slerp",
                  rng_impl: str = "torch", safety: bool = False,
                  step_cache: Optional[int] = None,
-                 step_cache_split: int = 1):
+                 step_cache_split: int = 1,
+                 guidance_rescale: float = 0.0,
+                 prompt_weighting: bool = False):
         self.models = models
         self.engine = Engine(models, mesh=mesh, scheduler=scheduler,
                              batch_bucket=batch_bucket,
                              step_cache=step_cache,
-                             step_cache_split=step_cache_split)
+                             step_cache_split=step_cache_split,
+                             guidance_rescale=guidance_rescale)
+        #: opt-in A1111/compel emphasis syntax + >77-token prompt chunking
+        #: (core/prompt_weighting.py); off by default so literal parentheses
+        #: in prompts keep the reference's verbatim semantics
+        self.prompt_weighting = prompt_weighting
         self.embed_interp = embed_interp
         self.noise_interp = noise_interp
         self.rng_impl = rng_impl
@@ -146,6 +153,10 @@ class StableDiffusionWalkPipeline:
         """Pooled-embedding kwargs for SDXL bundles ({} for SD1/2)."""
         if not self.models.is_xl:
             return {}
+        if self.prompt_weighting:
+            from ..core.prompt_weighting import strip_prompt_weights
+            prompt = strip_prompt_weights(prompt)
+            negative_prompt = strip_prompt_weights(negative_prompt or "")
         pooled = self.engine.embed_text_pooled(prompt)
         if batch > 1 and pooled.shape[0] == 1:
             pooled = jax.numpy.broadcast_to(pooled,
@@ -167,13 +178,20 @@ class StableDiffusionWalkPipeline:
         return (1, height // f, width // f, c)
 
     def generate_inputs(self, prompt_a: str, prompt_b: str, seed_a, seed_b,
-                        noise_shape, T, batch_size: int):
+                        noise_shape, T, batch_size: int,
+                        num_chunks: Optional[int] = None):
         """Interpolated (embeds, noise) batches for one clip (reference
         ``generate_inputs``, ``stable_diffusion_pipeline.py:457-479``) — but
         the whole trajectory is built on device in two fused interpolation
-        programs instead of a per-frame host loop."""
-        embeds_a = self.engine.embed_text(prompt_a)
-        embeds_b = self.engine.embed_text(prompt_b)
+        programs instead of a per-frame host loop.  With
+        ``self.prompt_weighting`` the endpoints embed through the weighted
+        chunked path at a common ``num_chunks`` context length."""
+        if self.prompt_weighting:
+            embeds_a = self.engine.embed_text_weighted(prompt_a, num_chunks)
+            embeds_b = self.engine.embed_text_weighted(prompt_b, num_chunks)
+        else:
+            embeds_a = self.engine.embed_text(prompt_a)
+            embeds_b = self.engine.embed_text(prompt_b)
         noise_a = jax.numpy.asarray(self.init_noise(seed_a, noise_shape))
         noise_b = jax.numpy.asarray(self.init_noise(seed_b, noise_shape))
 
@@ -183,9 +201,15 @@ class StableDiffusionWalkPipeline:
         noise = interp[self.noise_interp](T, noise_a[0], noise_b[0])
         pooled = None
         if self.models.is_xl:
-            # SDXL: the pooled text embedding walks the same trajectory
-            pa = self.engine.embed_text_pooled(prompt_a)
-            pb = self.engine.embed_text_pooled(prompt_b)
+            # SDXL: the pooled text embedding walks the same trajectory.
+            # Weighted mode pools the syntax-stripped prompt (weights act on
+            # the sequence states; the pooled vector has no token axis).
+            pa, pb = prompt_a, prompt_b
+            if self.prompt_weighting:
+                from ..core.prompt_weighting import strip_prompt_weights
+                pa, pb = strip_prompt_weights(pa), strip_prompt_weights(pb)
+            pa = self.engine.embed_text_pooled(pa)
+            pb = self.engine.embed_text_pooled(pb)
             pooled = interp[self.embed_interp](T, pa[0], pb[0])
         for i in range(0, len(T), batch_size):
             yield (embeds[i:i + batch_size], noise[i:i + batch_size],
@@ -248,16 +272,32 @@ class StableDiffusionWalkPipeline:
         T = T[skip:]
 
         noise_shape = self._latent_shape(height, width)
-        uncond = self.engine.embed_text(negative_prompt or "")
-        uncond_pooled = (self.engine.embed_text_pooled(negative_prompt or "")
-                         if self.models.is_xl else None)
+        num_chunks = None
+        neg = negative_prompt or ""
+        if self.prompt_weighting:
+            from ..core.prompt_weighting import (chunks_needed,
+                                                 strip_prompt_weights)
+            tok = self.models.tokenizer
+            # cond and uncond concatenate into one CFG batch — all three
+            # prompts must agree on the chunked context length
+            num_chunks = max(chunks_needed(tok, t)
+                             for t in (prompt_a, prompt_b, neg))
+            uncond = self.engine.embed_text_weighted(neg, num_chunks)
+            neg_stripped = strip_prompt_weights(neg)
+            uncond_pooled = (self.engine.embed_text_pooled(neg_stripped)
+                             if self.models.is_xl else None)
+        else:
+            uncond = self.engine.embed_text(neg)
+            uncond_pooled = (self.engine.embed_text_pooled(neg)
+                             if self.models.is_xl else None)
         from concurrent.futures import ThreadPoolExecutor
         save_pool = ThreadPoolExecutor(max_workers=4,
                                        thread_name_prefix="frame-save")
         save_futures = []
 
         batch_gen = self.generate_inputs(prompt_a, prompt_b, seed_a, seed_b,
-                                         noise_shape, T, batch_size)
+                                         noise_shape, T, batch_size,
+                                         num_chunks=num_chunks)
         frame_index = skip
         total = len(T)
         pending = None  # (device_future, valid, start_frame_index)

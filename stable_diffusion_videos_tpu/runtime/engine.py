@@ -40,6 +40,27 @@ from ..parallel.mesh import (batch_sharding, data_parallel_size, make_mesh,
 logger = logging.getLogger("sdv_tpu")
 
 
+def apply_guidance(eps_u: jax.Array, eps_c: jax.Array, guidance,
+                   rescale: float = 0.0) -> jax.Array:
+    """Classifier-free-guidance combine, optionally std-rescaled.
+
+    ``rescale`` > 0 blends toward the variance-corrected estimate of
+    Lin et al. 2024 ("Common Diffusion Noise Schedules and Sample Steps are
+    Flawed" §3.4): CFG inflates the noise prediction's std by roughly the
+    guidance scale, which over-exposes zero-SNR v-prediction models; the fix
+    rescales the combined prediction's per-sample std back to the
+    conditional branch's and mixes with weight ``rescale`` (0.7 in the
+    paper).  ``rescale`` is a Python float baked into the program."""
+    eps = eps_u + guidance * (eps_c - eps_u)
+    if rescale > 0.0:
+        ax = tuple(range(1, eps.ndim))
+        std_c = jnp.std(eps_c, axis=ax, keepdims=True)
+        std_cfg = jnp.std(eps, axis=ax, keepdims=True)
+        eps = rescale * (eps * std_c / (std_cfg + 1e-8)) \
+            + (1.0 - rescale) * eps
+    return eps
+
+
 class Engine:
     def __init__(self, models: SDModels, mesh=None, scheduler: str = "pndm",
                  batch_bucket: Optional[int] = None,
@@ -47,7 +68,8 @@ class Engine:
                  vae_tile: Optional[int] = None, vae_tile_overlap: int = 16,
                  spatial_shard: bool = False,
                  step_cache: Optional[int] = None,
-                 step_cache_split: int = 1):
+                 step_cache_split: int = 1,
+                 guidance_rescale: float = 0.0):
         self.models = models
         self.mesh = mesh if mesh is not None else make_mesh()
         #: debug=True swaps the fused lax.scan for a per-step python loop so
@@ -86,6 +108,11 @@ class Engine:
             raise ValueError("step_cache must be >= 1 (None = off)")
         self.step_cache = step_cache
         self.step_cache_split = step_cache_split
+        #: std-rescaled CFG (Lin et al. 2024; see ``apply_guidance``) —
+        #: 0.0 = plain CFG, 0.7 = the paper's setting for zero-SNR models
+        if not 0.0 <= guidance_rescale <= 1.0:
+            raise ValueError("guidance_rescale must be in [0, 1]")
+        self.guidance_rescale = float(guidance_rescale)
         #: sequence/spatial parallelism (SURVEY.md §5.7 stretch): constrain
         #: the latent's W axis onto the mesh `model` axis — XLA SPMD
         #: partitions the convs with halo exchanges and the attention with
@@ -119,6 +146,51 @@ class Engine:
             raise ValueError("pooled embeddings require an SDXL bundle "
                              "(text_config_2)")
         return pooled
+
+    def embed_text_weighted(self, text, num_chunks: Optional[int] = None
+                            ) -> jax.Array:
+        """Prompt(s) with A1111/compel emphasis syntax -> (B, 77*n, D).
+
+        Long prompts span n > 1 CLIP windows (``core/prompt_weighting.py``);
+        the per-window hidden states are weight-scaled (mean-preserving) and
+        concatenated along the sequence axis.  Pass ``num_chunks`` to force
+        a common context length across several calls (cond/uncond of one
+        CFG dispatch must agree).  A weight-free short prompt returns
+        exactly ``embed_text``'s output."""
+        from ..core.prompt_weighting import apply_token_weights, \
+            encode_weighted
+        texts = [text] if isinstance(text, str) else list(text)
+        key = ("__weighted__", num_chunks, *texts)
+        with self._cache_lock:
+            if key in self._embed_cache:
+                self._embed_cache.move_to_end(key)
+                return self._embed_cache[key]
+        self._embed("")  # ensure self._embed_fn exists (uncond is cached)
+        tok = self.models.tokenizer
+        enc = [encode_weighted(tok, t, num_chunks=num_chunks)
+               for t in texts]
+        n = max(ids.shape[0] for ids, _ in enc)
+        enc = [(ids, w) if ids.shape[0] == n
+               else encode_weighted(tok, t, num_chunks=n)
+               for (ids, w), t in zip(enc, texts)]
+        ids = jnp.asarray(np.concatenate([i for i, _ in enc]))  # (B*n, 77)
+        weights = np.concatenate([w for _, w in enc])
+        if self.models.text_config_2 is not None:
+            tok2 = self.models.tokenizer_2 or tok
+            ids2 = jnp.asarray(np.concatenate(
+                [encode_weighted(tok2, t, num_chunks=n)[0] for t in texts]))
+            h, _ = self._embed_fn(self._params["text_encoder"],
+                                  self._params["text_encoder_2"], ids, ids2)
+        else:
+            h, _ = self._embed_fn(self._params["text_encoder"], ids)
+        h = apply_token_weights(h, weights)            # (B*n, 77, D)
+        B = len(texts)
+        out = jnp.reshape(h, (B, n * h.shape[1], h.shape[2]))
+        with self._cache_lock:
+            self._embed_cache[key] = out
+            self._embed_cache.move_to_end(key)
+            self._evict_embed_cache()
+        return out
 
     def _embed(self, text):
         if self._embed_fn is None:
@@ -163,17 +235,20 @@ class Engine:
         with self._cache_lock:
             self._embed_cache[key] = out
             self._embed_cache.move_to_end(key)
-            # LRU eviction, never the hot uncond/negative-prompt entries:
-            # ("",) is every CFG dispatch's uncond key — a clear-all here
-            # used to wipe it along with everything else
-            while len(self._embed_cache) > 256:
-                for old in self._embed_cache:
-                    if old != ("",):
-                        del self._embed_cache[old]
-                        break
-                else:
-                    break
+            self._evict_embed_cache()
         return self._embed_cache[key]
+
+    def _evict_embed_cache(self):
+        """LRU eviction (caller holds the lock), never the hot
+        uncond/negative-prompt entry: ("",) is every CFG dispatch's uncond
+        key — a clear-all here used to wipe it along with everything else."""
+        while len(self._embed_cache) > 256:
+            for old in self._embed_cache:
+                if old != ("",):
+                    del self._embed_cache[old]
+                    break
+            else:
+                break
 
     # ------------------------------------------------------------------
     # the hot program
@@ -233,7 +308,8 @@ class Engine:
             else:
                 eps = call_unet(None)
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
-            eps = eps_u + guidance * (eps_c - eps_u)
+            eps = apply_guidance(eps_u, eps_c, guidance,
+                                 self.guidance_rescale)
             st, lat = sched.step(tables, st, i, eps, lat)
             return (lat, st, deep) if cache_k else (lat, st)
 
@@ -708,7 +784,8 @@ class Engine:
                 else:
                     eps = unet.apply(params["unet"], inp2, tb, context)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + guidance * (eps_c - eps_u)
+                eps = apply_guidance(eps_u, eps_c, guidance,
+                                     self.guidance_rescale)
                 st, lat = sched.step(tables, st, i, eps, lat)
                 known = noised_known(tables, init, noise0, i)
                 lat = mask * lat + (1.0 - mask) * known
