@@ -149,6 +149,19 @@ class StableDiffusionWalkPipeline:
         with self.timer.stage("embed"):
             return np.asarray(self.engine.embed_text(text))
 
+    def _embed_cond_uncond(self, prompt: str, negative_prompt):
+        """(cond, uncond) embeddings for one prompt — routes through the
+        weighted chunked path (harmonised window counts) when
+        ``prompt_weighting`` is on."""
+        neg = negative_prompt or ""
+        if self.prompt_weighting:
+            from ..core.prompt_weighting import chunks_needed
+            tok = self.models.tokenizer
+            n = max(chunks_needed(tok, t) for t in (prompt, neg))
+            return (self.engine.embed_text_weighted(prompt, n),
+                    self.engine.embed_text_weighted(neg, n))
+        return self.engine.embed_text(prompt), self.engine.embed_text(neg)
+
     def _xl_pooled_kwargs(self, prompt, negative_prompt, batch: int):
         """Pooled-embedding kwargs for SDXL bundles ({} for SD1/2)."""
         if not self.models.is_xl:
@@ -598,11 +611,10 @@ class StableDiffusionWalkPipeline:
         if arr.ndim == 3:
             arr = arr[None]
         latents = self.engine.encode_image(arr * 2.0 - 1.0)
-        cond = self.engine.embed_text(prompt)
+        cond, uncond = self._embed_cond_uncond(prompt, negative_prompt)
         if latents.shape[0] > 1 and cond.shape[0] == 1:
             cond = jax.numpy.broadcast_to(cond,
                                           (latents.shape[0],) + cond.shape[1:])
-        uncond = self.engine.embed_text(negative_prompt or "")
         xl_kw = self._xl_pooled_kwargs(prompt, negative_prompt,
                                        latents.shape[0])
         with self.timer.stage("denoise"):
@@ -645,11 +657,10 @@ class StableDiffusionWalkPipeline:
                                          "nearest"))
         m_lat = np.broadcast_to(m_lat[None, :, :, None],
                                 (latents.shape[0], lh, lw, 1))
-        cond = self.engine.embed_text(prompt)
+        cond, uncond = self._embed_cond_uncond(prompt, negative_prompt)
         if latents.shape[0] > 1 and cond.shape[0] == 1:
             cond = jax.numpy.broadcast_to(
                 cond, (latents.shape[0],) + cond.shape[1:])
-        uncond = self.engine.embed_text(negative_prompt or "")
         xl_kw = self._xl_pooled_kwargs(prompt, negative_prompt,
                                        latents.shape[0])
         with self.timer.stage("denoise"):

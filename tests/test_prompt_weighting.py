@@ -180,6 +180,21 @@ def test_walk_with_prompt_weighting(pipeline, tmp_path):
     assert len(frames) == 2
 
 
+def test_img2img_with_prompt_weighting():
+    from stable_diffusion_videos_tpu.pipeline import (
+        StableDiffusionWalkPipeline)
+    # ddim: img2img needs a warm-up-free sampler
+    pipe = StableDiffusionWalkPipeline.tiny(prompt_weighting=True,
+                                            scheduler="ddim")
+    rng = np.random.default_rng(5)
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    out = pipe.img2img(img, "a (sharp:1.3) photo",
+                       num_inference_steps=3, strength=0.6,
+                       seed=1, output_type="np")
+    assert out.shape[1:3] == (32, 32)
+    assert np.all(np.isfinite(out))
+
+
 def test_walk_weighted_long_prompt_with_negative(pipeline, tmp_path):
     """cond spans 2 windows, uncond is short — both must harmonise."""
     long = " ".join(f"word{i}" for i in range(90))
