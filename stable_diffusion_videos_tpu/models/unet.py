@@ -147,7 +147,8 @@ class UNet2DCondition(nn.Module):
                  text_embeds: jax.Array = None,
                  time_ids: jax.Array = None, *,
                  cache_split: int = None,
-                 deep_feature: jax.Array = None):
+                 deep_feature: jax.Array = None,
+                 ctrl_down: tuple = None, ctrl_mid: jax.Array = None):
         """sample: (B,H,W,C) latents; timesteps: (B,) or scalar;
         encoder_hidden_states: (B, S, cross_attention_dim). Returns (B,H,W,C).
 
@@ -162,7 +163,12 @@ class UNet2DCondition(nn.Module):
         (0..s-1 down + up) and splices the cached trunk in — adjacent
         denoise steps change the deep features slowly, so reusing them
         trades a small approximation for skipping the mid/deep blocks
-        (Ma et al. 2023, "DeepCache"; cf. PAPERS.md step-coherence line)."""
+        (Ma et al. 2023, "DeepCache"; cf. PAPERS.md step-coherence line).
+
+        ControlNet conditioning (``ctrl_down``/``ctrl_mid``): per-skip
+        residuals from ``models/controlnet.py`` added to the down-path skip
+        connections and the mid-block output.  Incompatible with the
+        shallow step-cache pass (the deep skips don't exist there)."""
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -226,6 +232,16 @@ class UNet2DCondition(nn.Module):
                                  name=f"down_{level}_downsample")(x)
                 skips.append(x)
 
+        if ctrl_down is not None:
+            if shallow:
+                raise ValueError("ControlNet residuals cannot combine with "
+                                 "the shallow step-cache pass")
+            if len(ctrl_down) != len(skips):
+                raise ValueError(f"expected {len(skips)} ControlNet down "
+                                 f"residuals, got {len(ctrl_down)}")
+            skips = [s + r.astype(self.dtype)
+                     for s, r in zip(skips, ctrl_down)]
+
         # ---- mid (deep trunk; skipped when reusing the cache) ----
         if not shallow:
             mid_ch = cfg.block_out_channels[-1]
@@ -237,6 +253,8 @@ class UNet2DCondition(nn.Module):
                                    dtype=self.dtype, name="mid_attn")(x, ctx)
             x = ResnetBlock2D(mid_ch, dtype=self.dtype, tiled=self.tiled,
                               name="mid_res_1")(x, temb)
+            if ctrl_mid is not None:
+                x = x + ctrl_mid.astype(self.dtype)
         else:
             x = deep_feature.astype(self.dtype)
 

@@ -150,9 +150,9 @@ def _transformer(sd, pfx, depth):
     return out
 
 
-def convert_unet(sd: dict, config) -> dict:
-    """diffusers UNet2DConditionModel state dict -> our UNet pytree
-    (SD 1.x/2.x and SDXL — per-level transformer depth + add_embedding)."""
+def _unet_trunk(sd: dict, config) -> dict:
+    """conv_in + time/add embeddings + down path + mid block — the part a
+    diffusers ControlNetModel shares byte-for-byte with UNet2DConditionModel."""
     n = len(config.block_out_channels)
     p = {
         "conv_in": _conv(sd, "conv_in"),
@@ -160,8 +160,6 @@ def convert_unet(sd: dict, config) -> dict:
             "linear_1": _lin(sd, "time_embedding.linear_1"),
             "linear_2": _lin(sd, "time_embedding.linear_2"),
         },
-        "conv_norm_out": _gn32(sd, "conv_norm_out"),
-        "conv_out": _conv(sd, "conv_out"),
     }
     if config.addition_embed_dim is not None:  # SDXL text_time
         p["add_embedding"] = {
@@ -183,6 +181,16 @@ def convert_unet(sd: dict, config) -> dict:
     p["mid_attn"] = _transformer(sd, "mid_block.attentions.0",
                                  config.depth(n - 1))
     p["mid_res_1"] = _resnet(sd, "mid_block.resnets.1")
+    return p
+
+
+def convert_unet(sd: dict, config) -> dict:
+    """diffusers UNet2DConditionModel state dict -> our UNet pytree
+    (SD 1.x/2.x and SDXL — per-level transformer depth + add_embedding)."""
+    n = len(config.block_out_channels)
+    p = _unet_trunk(sd, config)
+    p["conv_norm_out"] = _gn32(sd, "conv_norm_out")
+    p["conv_out"] = _conv(sd, "conv_out")
     for i in range(n):  # diffusers up_blocks[0] is the deepest level
         level = n - 1 - i
         for j in range(config.layers_per_block + 1):
@@ -196,6 +204,116 @@ def convert_unet(sd: dict, config) -> dict:
             p[f"up_{level}_upsample"] = {"conv": _conv(
                 sd, f"up_blocks.{i}.upsamplers.0.conv")}
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# ControlNet
+# ---------------------------------------------------------------------------
+
+def convert_controlnet(sd: dict, config, cond_channels=(16, 32, 96, 256)
+                       ) -> dict:
+    """diffusers ControlNetModel state dict -> our ControlNet pytree
+    (``models/controlnet.py``): the shared UNet trunk mapping + the
+    conditioning embedding + the zero-conv taps."""
+    n = len(config.block_out_channels)
+    p = _unet_trunk(sd, config)
+    emb = {
+        "conv_in": _conv(sd, "controlnet_cond_embedding.conv_in"),
+        "conv_out": _conv(sd, "controlnet_cond_embedding.conv_out"),
+    }
+    for i in range(2 * (len(cond_channels) - 1)):
+        emb[f"blocks_{i}"] = _conv(sd,
+                                   f"controlnet_cond_embedding.blocks.{i}")
+    p["cond_embedding"] = emb
+    n_skips = 1 + n * config.layers_per_block + (n - 1)
+    for i in range(n_skips):
+        p[f"zero_conv_{i}"] = _conv(sd, f"controlnet_down_blocks.{i}")
+    p["zero_conv_mid"] = _conv(sd, "controlnet_mid_block")
+    return {"params": p}
+
+
+def load_controlnet(path: str, dtype=jnp.float32):
+    """diffusers-layout ControlNetModel dir (config.json + weights file) or a
+    bare diffusers-naming weights file -> ``ControlNetBundle``.
+
+    Covers the lllyasviel/sd-controlnet-* and diffusers/controlnet-* hub
+    layouts; params are kept float32 (compute dtype comes from the engine)."""
+    from .controlnet import ControlNetBundle
+    root = Path(resolve_checkpoint(str(path)))
+    if root.is_dir():
+        wfile = find_weights_file(root)
+        cfg_json = _read_json(root / "config.json")
+    else:
+        wfile, cfg_json = root, {}
+    sd = load_state_dict(wfile)
+    if "conv_in.weight" not in sd:
+        raise ValueError(
+            f"{wfile} is not a diffusers-layout ControlNetModel state dict "
+            "(A1111 'control_model.*' single files are not supported — "
+            "convert with diffusers' scripts first)")
+    if cfg_json:
+        config = _unet_config_from_json(cfg_json)
+        cond_channels = tuple(cfg_json.get(
+            "conditioning_embedding_out_channels", (16, 32, 96, 256)))
+    else:
+        # infer geometry from the state dict (mirrors load_sd_checkpoint's
+        # shape-driven approach for single files)
+        config = _controlnet_config_from_sd(sd)
+        blocks = [k for k in sd
+                  if k.startswith("controlnet_cond_embedding.blocks.")
+                  and k.endswith(".weight")]
+        n_pairs = len(blocks) // 2
+        chans = [sd["controlnet_cond_embedding.conv_in.weight"].shape[0]]
+        for i in range(n_pairs):
+            chans.append(
+                sd[f"controlnet_cond_embedding.blocks.{2 * i + 1}.weight"]
+                .shape[0])
+        cond_channels = tuple(chans)
+    params = _to_jnp(convert_controlnet(sd, config, cond_channels), dtype)
+    return ControlNetBundle(config, params, cond_channels)
+
+
+def _controlnet_config_from_sd(sd: dict):
+    """Geometry straight from diffusers-naming tensor shapes (no config.json)."""
+    from .unet import UNetConfig
+    chans, level = [], 0
+    while f"down_blocks.{level}.resnets.0.conv1.weight" in sd:
+        chans.append(sd[f"down_blocks.{level}.resnets.0.conv1.weight"]
+                     .shape[0])
+        level += 1
+    n = len(chans)
+    layers = 0
+    while f"down_blocks.0.resnets.{layers}.conv1.weight" in sd:
+        layers += 1
+    attn_levels, heads, depths = [], [], []
+    for lv in range(n):
+        k = f"down_blocks.{lv}.attentions.0.transformer_blocks.0.attn2.to_k.weight"
+        has = k in sd
+        attn_levels.append(has)
+        d = 0
+        while (f"down_blocks.{lv}.attentions.0.transformer_blocks.{d}"
+               ".attn1.to_q.weight") in sd:
+            d += 1
+        depths.append(d)
+        heads.append(chans[lv] // 64 if has and chans[lv] % 64 == 0 else 8)
+    ctx = next((sd[k].shape[1] for k in sd
+                if k.endswith("attn2.to_k.weight")), 768)
+    # SD1.x checkpoints use 8 heads everywhere (head_dim = ch/8); detect by
+    # context width — 768 => SD1.x family
+    head_cfg = 8 if ctx == 768 else tuple(heads)
+    add = "add_embedding.linear_1.weight" in sd
+    add_dim = 256 if add else None
+    pooled = (sd["add_embedding.linear_1.weight"].shape[1] - 6 * 256
+              if add else None)
+    return UNetConfig(
+        in_channels=sd["conv_in.weight"].shape[1],
+        block_out_channels=tuple(chans), layers_per_block=layers,
+        cross_attention_dim=ctx, attention_head_dim=head_cfg,
+        attn_levels=tuple(attn_levels),
+        transformer_depth=tuple(max(d, 1) if a else 0
+                                for d, a in zip(depths, attn_levels))
+        if any(d > 1 for d in depths) else 1,
+        addition_embed_dim=add_dim, addition_pooled_dim=pooled)
 
 
 # ---------------------------------------------------------------------------

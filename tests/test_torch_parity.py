@@ -234,3 +234,71 @@ def test_vae_parity_vs_torch_impl():
     np.testing.assert_allclose(np.asarray(logvar_f), nhwc(logvar_t), **TOL)
     dec_f = fm.apply(params, mean_f, method=AutoencoderKL.decode)
     np.testing.assert_allclose(np.asarray(dec_f), nhwc(dec_t), **TOL)
+
+
+# ---------------------------------------------------------------------------
+# ControlNet parity (models/controlnet.py + convert_controlnet)
+# ---------------------------------------------------------------------------
+
+def _perturbed_torch_controlnet(cfg, cond_channels, seed=0):
+    """TorchControlNet with its zero-init layers re-drawn so the converter
+    and tap paths carry real signal."""
+    from torch_sd_ref import TorchControlNet
+    torch.manual_seed(seed)
+    tm = TorchControlNet(cfg, cond_channels)
+    with torch.no_grad():
+        for zc in list(tm.controlnet_down_blocks) + [tm.controlnet_mid_block]:
+            zc.weight.normal_(0, 0.05)
+            zc.bias.normal_(0, 0.05)
+        tm.controlnet_cond_embedding.conv_out.weight.normal_(0, 0.05)
+        tm.controlnet_cond_embedding.conv_out.bias.normal_(0, 0.05)
+    return tm.eval()
+
+
+def test_controlnet_parity():
+    """Residuals of the Flax ControlNet (converted weights) match the torch
+    transcription, and the controlled UNet forwards agree end to end."""
+    from stable_diffusion_videos_tpu.models.controlnet import ControlNet
+    from torch_sd_ref import TorchUNet
+
+    cfg = UNetConfig(sample_size=8, block_out_channels=(32, 64),
+                     layers_per_block=2, cross_attention_dim=32,
+                     attention_head_dim=2, attn_levels=(True, False))
+    cond_channels = (8, 16)  # one stride-2: control image at 2x latent res
+    tm = _perturbed_torch_controlnet(cfg, cond_channels, seed=11)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = jax.tree.map(jnp.asarray,
+                          W.convert_controlnet(sd, cfg, cond_channels))
+    fm = ControlNet(cfg, cond_channels=cond_channels)
+
+    lat = rand(2, cfg.in_channels, 8, 8, seed=21)
+    cond = torch.rand(2, 3, 16, 16,
+                      generator=torch.Generator().manual_seed(22))
+    ctx = rand(2, 7, cfg.cross_attention_dim, seed=23)
+    t = torch.tensor([4.0, 17.0])
+    scale = 0.8
+    with torch.no_grad():
+        down_t, mid_t = tm(lat, t, ctx, cond, conditioning_scale=scale)
+    down_f, mid_f = fm.apply(
+        params, jnp.asarray(nhwc(lat)), jnp.asarray(t.numpy()),
+        jnp.asarray(ctx.numpy()), jnp.asarray(nhwc(cond)),
+        conditioning_scale=scale)
+    assert len(down_f) == len(down_t)
+    for df, dt in zip(down_f, down_t):
+        np.testing.assert_allclose(np.asarray(df), nhwc(dt), **TOL)
+    np.testing.assert_allclose(np.asarray(mid_f), nhwc(mid_t), **TOL)
+
+    # full controlled-UNet forward parity
+    torch.manual_seed(31)
+    tunet = TorchUNet(cfg).eval()
+    usd = {k: v.detach().numpy() for k, v in tunet.state_dict().items()}
+    uparams = jax.tree.map(jnp.asarray, W.convert_unet(usd, cfg))
+    from stable_diffusion_videos_tpu.models.unet import UNet2DCondition
+    funet = UNet2DCondition(cfg)
+    with torch.no_grad():
+        out_t = tunet(lat, t, ctx, ctrl_down=down_t, ctrl_mid=mid_t)
+    out_f = funet.apply(uparams, jnp.asarray(nhwc(lat)),
+                        jnp.asarray(t.numpy()), jnp.asarray(ctx.numpy()),
+                        ctrl_down=down_f, ctrl_mid=mid_f)
+    np.testing.assert_allclose(np.asarray(out_f), nhwc(out_t),
+                               atol=2e-4, rtol=2e-4)

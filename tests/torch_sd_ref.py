@@ -258,7 +258,7 @@ class TorchUNet(nn.Module):
         self.conv_out = nn.Conv2d(chans[0], cfg.out_channels, 3, padding=1)
 
     def forward(self, sample, timesteps, ctx, text_embeds=None,
-                time_ids=None):
+                time_ids=None, ctrl_down=None, ctrl_mid=None):
         cfg = self.cfg
         if timesteps.ndim == 0:
             timesteps = timesteps.expand(sample.shape[0])
@@ -284,9 +284,13 @@ class TorchUNet(nn.Module):
             if hasattr(blk, "downsamplers"):
                 x = blk.downsamplers[0](x)
                 skips.append(x)
+        if ctrl_down is not None:
+            skips = [s + r for s, r in zip(skips, ctrl_down)]
         x = self.mid_block.resnets[0](x, temb)
         x = self.mid_block.attentions[0](x, ctx)
         x = self.mid_block.resnets[1](x, temb)
+        if ctrl_mid is not None:
+            x = x + ctrl_mid
         for blk in self.up_blocks:
             attns = list(getattr(blk, "attentions", []))
             for j, res in enumerate(blk.resnets):
@@ -414,3 +418,123 @@ class TorchVAE(nn.Module):
 
     def decode(self, z):
         return self.decoder(self.post_quant_conv(z))
+
+
+class TorchControlNetCondEmbedding(nn.Module):
+    """diffusers ControlNetConditioningEmbedding transcription: conv_in ->
+    [conv3x3, conv3x3 stride2] pairs -> zero conv_out, SiLU between all."""
+
+    def __init__(self, out_channels, channels=(16, 32, 96, 256)):
+        super().__init__()
+        self.conv_in = nn.Conv2d(3, channels[0], 3, padding=1)
+        self.blocks = nn.ModuleList()
+        for i in range(len(channels) - 1):
+            self.blocks.append(nn.Conv2d(channels[i], channels[i], 3,
+                                         padding=1))
+            self.blocks.append(nn.Conv2d(channels[i], channels[i + 1], 3,
+                                         padding=1, stride=2))
+        self.conv_out = nn.Conv2d(channels[-1], out_channels, 3, padding=1)
+        nn.init.zeros_(self.conv_out.weight)
+        nn.init.zeros_(self.conv_out.bias)
+
+    def forward(self, cond):
+        x = F.silu(self.conv_in(cond))
+        for blk in self.blocks:
+            x = F.silu(blk(x))
+        return self.conv_out(x)
+
+
+class TorchControlNet(nn.Module):
+    """diffusers ControlNetModel transcription: the UNet's down+mid trunk fed
+    conv_in(latents) + cond_embedding(control image), tapped through
+    zero-initialised 1x1 convs (state-dict naming: controlnet_cond_embedding,
+    controlnet_down_blocks, controlnet_mid_block)."""
+
+    def __init__(self, cfg, cond_channels=(16, 32, 96, 256)):
+        super().__init__()
+        self.cfg = cfg
+        chans = cfg.block_out_channels
+        n = len(chans)
+        temb_dim = chans[0] * 4
+        self.conv_in = nn.Conv2d(cfg.in_channels, chans[0], 3, padding=1)
+        self.time_embedding = TimestepEmbedding(chans[0], temb_dim)
+        if cfg.addition_embed_dim is not None:
+            self.add_embedding = TimestepEmbedding(
+                cfg.addition_pooled_dim + 6 * cfg.addition_embed_dim,
+                temb_dim)
+        self.controlnet_cond_embedding = TorchControlNetCondEmbedding(
+            chans[0], cond_channels)
+
+        def zero_conv(ch):
+            c = nn.Conv2d(ch, ch, 1)
+            nn.init.zeros_(c.weight)
+            nn.init.zeros_(c.bias)
+            return c
+
+        skip_chans = [chans[0]]
+        self.down_blocks = nn.ModuleList()
+        ch = chans[0]
+        for level, out_ch in enumerate(chans):
+            resnets, attns = nn.ModuleList(), nn.ModuleList()
+            for _ in range(cfg.layers_per_block):
+                resnets.append(ResnetBlock2D(ch, out_ch, temb_dim))
+                ch = out_ch
+                if cfg.attn_levels[level]:
+                    attns.append(Transformer2DModel(
+                        ch, cfg.cross_attention_dim, cfg.heads(level),
+                        cfg.depth(level)))
+                skip_chans.append(ch)
+            kw = {"resnets": resnets}
+            if cfg.attn_levels[level]:
+                kw["attentions"] = attns
+            if level != n - 1:
+                kw["downsamplers"] = nn.ModuleList([Downsample2D(ch)])
+                skip_chans.append(ch)
+            self.down_blocks.append(_Blocks(**kw))
+
+        mid_ch = chans[-1]
+        self.mid_block = _Blocks(
+            resnets=nn.ModuleList([ResnetBlock2D(mid_ch, mid_ch, temb_dim),
+                                   ResnetBlock2D(mid_ch, mid_ch, temb_dim)]),
+            attentions=nn.ModuleList([Transformer2DModel(
+                mid_ch, cfg.cross_attention_dim, cfg.heads(n - 1),
+                cfg.depth(n - 1))]))
+
+        self.controlnet_down_blocks = nn.ModuleList(
+            [zero_conv(c) for c in skip_chans])
+        self.controlnet_mid_block = zero_conv(mid_ch)
+
+    def forward(self, sample, timesteps, ctx, cond, conditioning_scale=1.0,
+                text_embeds=None, time_ids=None):
+        cfg = self.cfg
+        if timesteps.ndim == 0:
+            timesteps = timesteps.expand(sample.shape[0])
+        temb = self.time_embedding(timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos,
+            cfg.freq_shift))
+        if cfg.addition_embed_dim is not None:
+            ids_emb = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_embed_dim,
+                cfg.flip_sin_to_cos, cfg.freq_shift
+            ).reshape(sample.shape[0], -1)
+            temb = temb + self.add_embedding(
+                torch.cat([text_embeds, ids_emb], dim=-1))
+        x = self.conv_in(sample) + self.controlnet_cond_embedding(cond)
+        skips = [x]
+        for blk in self.down_blocks:
+            attns = list(getattr(blk, "attentions", []))
+            for j, res in enumerate(blk.resnets):
+                x = res(x, temb)
+                if attns:
+                    x = attns[j](x, ctx)
+                skips.append(x)
+            if hasattr(blk, "downsamplers"):
+                x = blk.downsamplers[0](x)
+                skips.append(x)
+        x = self.mid_block.resnets[0](x, temb)
+        x = self.mid_block.attentions[0](x, ctx)
+        x = self.mid_block.resnets[1](x, temb)
+        down_res = [zc(s) * conditioning_scale
+                    for zc, s in zip(self.controlnet_down_blocks, skips)]
+        mid_res = self.controlnet_mid_block(x) * conditioning_scale
+        return down_res, mid_res
