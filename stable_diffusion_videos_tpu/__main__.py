@@ -60,6 +60,18 @@ def _add_common(ap):
                     help="textual-inversion embedding file (diffusers "
                          "learned_embeds / A1111 .pt / SDXL clip_l+clip_g) "
                          "spliced into the tokenizer+text tower; repeatable")
+    ap.add_argument("--controlnet", default=None, metavar="PATH",
+                    help="diffusers-layout ControlNetModel dir or weights "
+                         "file; combine with --control-image")
+    ap.add_argument("--control-image", default=None, metavar="IMG",
+                    help="conditioning map (canny/depth/pose image) every "
+                         "frame is structurally locked to")
+    ap.add_argument("--controlnet-scale", type=float, default=1.0,
+                    help="ControlNet residual weight (traced; no recompile)")
+    ap.add_argument("--freeu", nargs="*", type=float, default=None,
+                    metavar="B1 B2 S1 S2",
+                    help="FreeU backbone/skip re-weighting: bare flag = the "
+                         "published per-family factors, or 4 explicit values")
 
 
 def _pipeline(args):
@@ -76,6 +88,19 @@ def _pipeline(args):
     if ti:
         from .models.textual_inversion import parse_ti_arg
         kw["textual_inversion"] = [parse_ti_arg(a) for a in ti]
+    cn = getattr(args, "controlnet", None)
+    if cn:
+        kw["controlnet"] = cn
+    fu = getattr(args, "freeu", None)
+    if fu is not None:
+        if len(fu) not in (0, 4):
+            print("--freeu takes 0 or 4 values (B1 B2 S1 S2)",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        kw["freeu"] = True if len(fu) == 0 else tuple(fu)
+    if getattr(args, "control_image", None) and not cn:
+        print("--control-image requires --controlnet", file=sys.stderr)
+        raise SystemExit(2)
     if args.checkpoint is None:
         if lora or ti:
             print("--lora/--textual-inversion require --checkpoint "
@@ -104,7 +129,9 @@ def cmd_walk(args):
         batch_size=args.batch_size, resume=args.resume,
         audio_filepath=args.audio, audio_start_sec=args.audio_start_sec,
         margin=args.margin, smooth=args.smooth,
-        negative_prompt=args.negative_prompt)
+        negative_prompt=args.negative_prompt,
+        control_image=args.control_image,
+        controlnet_scale=args.controlnet_scale)
     print(video)
 
 
@@ -119,7 +146,9 @@ def cmd_images(args):
         upsample_weights=args.upsample_weights,
         height=args.height, width=args.width,
         negative_prompt=args.negative_prompt,
-        push_to_hub=args.push_to_hub, repo_id=args.repo_id)
+        push_to_hub=args.push_to_hub, repo_id=args.repo_id,
+        control_image=args.control_image,
+        controlnet_scale=args.controlnet_scale)
     print("\n".join(paths))
 
 

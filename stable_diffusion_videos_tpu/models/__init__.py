@@ -6,6 +6,7 @@ tiny CPU-testable variants share every code path).
 """
 
 from .clip_text import CLIPTextConfig, CLIPTextEncoder
+from .controlnet import ControlNet, ControlNetBundle
 from .safety import (CLIPVisionConfig, SafetyChecker, SafetyConfig,
                      preprocess_for_safety)
 from .tokenizer import (BaseTokenizer, CLIPBPETokenizer, HFTokenizerAdapter,
@@ -14,7 +15,7 @@ from .unet import UNet2DCondition, UNetConfig
 from .vae import SD_LATENT_SCALE, AutoencoderKL, VAEConfig
 
 __all__ = [
-    "CLIPTextConfig", "CLIPTextEncoder", "CLIPVisionConfig", "SafetyChecker",
+    "CLIPTextConfig", "CLIPTextEncoder", "ControlNet", "ControlNetBundle", "CLIPVisionConfig", "SafetyChecker",
     "SafetyConfig", "preprocess_for_safety", "BaseTokenizer",
     "CLIPBPETokenizer", "HFTokenizerAdapter", "HashTokenizer",
     "UNet2DCondition", "UNetConfig", "AutoencoderKL", "VAEConfig",

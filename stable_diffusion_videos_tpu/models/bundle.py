@@ -40,11 +40,32 @@ class SDModels:
     #: SDXL tokenizer for tower 2 (same BPE, pads with 0 instead of eos);
     #: None falls back to ``tokenizer``
     tokenizer_2: Optional[BaseTokenizer] = None
+    #: FreeU (b1, b2, s1, s2) backbone/skip re-weighting, or None (off) —
+    #: see ``UNet2DCondition.freeu`` / ``SDModels.with_freeu``
+    freeu: Optional[tuple] = None
 
     # ---- module builders (modules are stateless; params passed at call) ----
     def unet(self) -> UNet2DCondition:
         return UNet2DCondition(self.unet_config, dtype=self.dtype,
-                               tiled=self.tiled)
+                               tiled=self.tiled, freeu=self.freeu)
+
+    def with_freeu(self, freeu) -> "SDModels":
+        """Bundle copy with FreeU on: ``freeu=True`` picks the published
+        per-family factors (Si et al. 2023 — SD1.x (1.5, 1.6, 0.9, 0.2),
+        SD2.x (1.4, 1.6, 0.9, 0.2), SDXL (1.3, 1.4, 0.9, 0.2)); a 4-tuple
+        sets (b1, b2, s1, s2) explicitly."""
+        if freeu is True:
+            if self.is_xl:
+                freeu = (1.3, 1.4, 0.9, 0.2)
+            elif self.unet_config.cross_attention_dim == 1024:
+                freeu = (1.4, 1.6, 0.9, 0.2)
+            else:
+                freeu = (1.5, 1.6, 0.9, 0.2)
+        elif freeu:
+            freeu = tuple(float(f) for f in freeu)
+            if len(freeu) != 4:
+                raise ValueError("freeu must be (b1, b2, s1, s2)")
+        return dataclasses.replace(self, freeu=freeu or None)
 
     def vae(self) -> AutoencoderKL:
         return AutoencoderKL(self.vae_config, dtype=self.dtype,

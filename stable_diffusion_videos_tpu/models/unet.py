@@ -136,10 +136,34 @@ class UNetConfig:
                    addition_embed_dim=8, addition_pooled_dim=16)
 
 
+def fourier_lowpass_scale(x: jax.Array, threshold: int,
+                          scale: float) -> jax.Array:
+    """Scale the lowest spatial frequencies of (B, H, W, C) by ``scale``.
+
+    FreeU's skip-feature filter (Si et al. 2023 §3.2): FFT over the spatial
+    axes, multiply the centred (2*threshold)^2 low-frequency box by
+    ``scale``, inverse FFT.  Runs in float32 (XLA:TPU FFTs are f32) at the
+    8-32px latent resolutions where FreeU applies — negligible cost."""
+    import numpy as _np
+    b, h, w, c = x.shape
+    freq = jnp.fft.fftshift(jnp.fft.fft2(x.astype(jnp.float32),
+                                         axes=(1, 2)), axes=(1, 2))
+    mask = _np.ones((1, h, w, 1), _np.float32)
+    mask[:, h // 2 - threshold:h // 2 + threshold,
+         w // 2 - threshold:w // 2 + threshold] = scale
+    freq = freq * mask
+    out = jnp.fft.ifft2(jnp.fft.ifftshift(freq, axes=(1, 2)), axes=(1, 2))
+    return jnp.real(out).astype(x.dtype)
+
+
 class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     tiled: bool = False
+    #: FreeU (Si et al. 2023) backbone/skip re-weighting — (b1, b2, s1, s2)
+    #: applied at the two deepest up blocks, or None (off).  Training-free
+    #: quality boost for real checkpoints; static (changing it recompiles).
+    freeu: Union[Tuple[float, float, float, float], None] = None
 
     @nn.compact
     def __call__(self, sample: jax.Array, timesteps: jax.Array,
@@ -266,6 +290,17 @@ class UNet2DCondition(nn.Module):
             ch = cfg.block_out_channels[level]
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
+                up_idx = n_levels - 1 - level  # 0 = deepest up block
+                if self.freeu is not None and up_idx in (0, 1):
+                    b1, b2, s1, s2 = self.freeu
+                    b, s = (b1, s1) if up_idx == 0 else (b2, s2)
+                    # amplify the low-half backbone channels, damp the
+                    # skip's low spatial frequencies (FreeU)
+                    half = x.shape[-1] // 2
+                    x = jnp.concatenate(
+                        [x[..., :half] * jnp.asarray(b, x.dtype),
+                         x[..., half:]], axis=-1)
+                    skip = fourier_lowpass_scale(skip, 1, s)
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResnetBlock2D(ch, dtype=self.dtype, tiled=self.tiled,
                                   name=f"up_{level}_res_{j}")(x, temb)

@@ -35,7 +35,8 @@ def generate_images(pipeline, prompt: str, batch_size: Optional[int] = 1,
                     push_to_hub: bool = False,
                     repo_id: Optional[str] = None, private: bool = False,
                     create_pr: bool = False,
-                    upsample_weights: Optional[str] = None):
+                    upsample_weights: Optional[str] = None,
+                    control_image=None, controlnet_scale: float = 1.0):
     """Generate ``batch_size * num_batches`` images of one prompt, one seed
     each; write ``{seed}{ext}`` files + ``prompt_config.json``; optionally
     upload the folder to the HF hub.  Returns the list of file paths."""
@@ -67,6 +68,13 @@ def generate_images(pipeline, prompt: str, batch_size: Optional[int] = 1,
     if upsample:
         pipeline._ensure_upsampler(upsample_weights)
 
+    ctrl_kw = {}
+    if control_image is not None:
+        from .walk import load_control_image
+        ctrl_kw = dict(control=load_control_image(control_image, height,
+                                                  width),
+                       control_scale=controlnet_scale)
+
     if getattr(pipeline, "prompt_weighting", False):
         from ..core.prompt_weighting import chunks_needed
         tok = pipeline.models.tokenizer
@@ -93,7 +101,7 @@ def generate_images(pipeline, prompt: str, batch_size: Optional[int] = 1,
             images = pipeline.engine.denoise_frames(
                 cond, uncond, jax.numpy.asarray(noise),
                 num_inference_steps=num_inference_steps,
-                guidance_scale=guidance_scale, eta=eta, **xl_kw)
+                guidance_scale=guidance_scale, eta=eta, **xl_kw, **ctrl_kw)
         pipeline.timer.add_frames(len(images))
         for seed, pil in zip(batch_seeds, pipeline._postprocess(images)):
             fpath = save_path / f"{seed}{image_file_ext}"

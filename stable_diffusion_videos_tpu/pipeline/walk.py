@@ -46,6 +46,26 @@ from ..utils.profiling import StageTimer
 logger = logging.getLogger("sdv_tpu")
 
 
+def load_control_image(image, height: int, width: int) -> np.ndarray:
+    """Path / PIL / array -> (1, height, width, 3) float32 in [0, 1] for
+    ControlNet conditioning (canny/depth/pose maps are plain images)."""
+    if isinstance(image, (str, Path)):
+        image = Image.open(image)
+    if isinstance(image, Image.Image):
+        image = np.asarray(image.convert("RGB").resize(
+            (width, height), Image.BILINEAR))
+    image = np.asarray(image, np.float32)
+    if image.max() > 1.5:  # uint8-range input
+        image = image / 255.0
+    if image.ndim == 3:
+        image = image[None]
+    if image.shape[1:3] != (height, width):
+        raise ValueError(f"control image is {image.shape[1:3]}, expected "
+                         f"({height}, {width}) — pass a path/PIL image to "
+                         "auto-resize")
+    return image
+
+
 class StableDiffusionWalkPipeline:
     def __init__(self, models: SDModels, scheduler: str = "pndm", mesh=None,
                  batch_bucket: Optional[int] = None,
@@ -54,13 +74,22 @@ class StableDiffusionWalkPipeline:
                  step_cache: Optional[int] = None,
                  step_cache_split: int = 1,
                  guidance_rescale: float = 0.0,
-                 prompt_weighting: bool = False):
+                 prompt_weighting: bool = False,
+                 controlnet=None, freeu=None):
+        if freeu:
+            # training-free detail/quality boost (Si et al. 2023): True =
+            # published per-family factors, or an explicit (b1, b2, s1, s2)
+            models = models.with_freeu(freeu)
         self.models = models
+        if isinstance(controlnet, (str, Path)):
+            from ..models.weights import load_controlnet
+            controlnet = load_controlnet(controlnet)
         self.engine = Engine(models, mesh=mesh, scheduler=scheduler,
                              batch_bucket=batch_bucket,
                              step_cache=step_cache,
                              step_cache_split=step_cache_split,
-                             guidance_rescale=guidance_rescale)
+                             guidance_rescale=guidance_rescale,
+                             controlnet=controlnet)
         #: opt-in A1111/compel emphasis syntax + >77-token prompt chunking
         #: (core/prompt_weighting.py); off by default so literal parentheses
         #: in prompts keep the reference's verbatim semantics
@@ -109,7 +138,9 @@ class StableDiffusionWalkPipeline:
         ``(path, scale)`` pairs, ``lora_scale`` is the shared default.
         ``textual_inversion``: one or a list of textual-inversion embedding
         files (``models/textual_inversion.py``); list items may be
-        ``(path, trigger_token)`` pairs."""
+        ``(path, trigger_token)`` pairs.  ``controlnet``: a diffusers-layout
+        ControlNetModel dir/file or a ``ControlNetBundle`` — enables
+        ``walk(control_image=...)`` spatially-conditioned generation."""
         import jax.numpy as jnp
         models = SDModels.from_pretrained(
             path, dtype=dtype or jnp.bfloat16, tiled=tiled,
@@ -266,13 +297,26 @@ class StableDiffusionWalkPipeline:
                          T=None, skip: int = 0,
                          negative_prompt: Optional[str] = None,
                          step: Optional[tuple] = None, frame_sink=None,
-                         upsample_weights: Optional[str] = None):
+                         upsample_weights: Optional[str] = None,
+                         control_image=None, controlnet_scale: float = 1.0):
         """Generate frames for one prompt-pair clip (reference
-        ``make_clip_frames``, ``stable_diffusion_pipeline.py:481-554``)."""
+        ``make_clip_frames``, ``stable_diffusion_pipeline.py:481-554``).
+
+        ``control_image``: path / PIL / array ControlNet conditioning map —
+        every frame of the clip is structurally locked to it while the
+        prompt/noise walk morphs the content (requires the pipeline's
+        ``controlnet=``)."""
         if upsample:
             self._ensure_upsampler(upsample_weights)
         height = height or self.models.default_size
         width = width or self.models.default_size
+        control = None
+        if control_image is not None:
+            if self.engine.controlnet is None:
+                raise ValueError("control_image= requires a pipeline built "
+                                 "with controlnet= (from_pretrained("
+                                 "controlnet=...) or Engine(controlnet=...))")
+            control = load_control_image(control_image, height, width)
         save_path = Path(save_path)
         save_path.mkdir(parents=True, exist_ok=True)
 
@@ -347,7 +391,8 @@ class StableDiffusionWalkPipeline:
                         jax.random.PRNGKey(int(seed_a)), int(seed_b) & (2**31 - 1)),
                         batch_idx),
                     output_dtype="uint8",
-                    pooled=pooled, uncond_pooled=uncond_pooled)
+                    pooled=pooled, uncond_pooled=uncond_pooled,
+                    control=control, control_scale=controlnet_scale)
             # overlap: save the previous batch while this one computes
             if pending is not None:
                 drain(pending)
@@ -383,7 +428,9 @@ class StableDiffusionWalkPipeline:
              smooth: float = 0.0, negative_prompt: Optional[str] = None,
              make_video: bool = True, params=None,
              jit: Optional[bool] = None,
-             upsample_weights: Optional[str] = None) -> Optional[str]:
+             upsample_weights: Optional[str] = None,
+             control_image=None,
+             controlnet_scale: float = 1.0) -> Optional[str]:
         """Generate a video walking through prompt/seed pairs — reference
         ``walk()`` (``stable_diffusion_pipeline.py:556-807``), same API and
         output directory layout (clip subdirs + per-clip mp4 + final mp4 +
@@ -425,6 +472,10 @@ class StableDiffusionWalkPipeline:
         # missing weights file fails in milliseconds, not after a long walk
         if upsample:
             self._ensure_upsampler(upsample_weights)
+        # same fail-fast for ControlNet conditioning
+        if control_image is not None and self.engine.controlnet is None:
+            raise ValueError("control_image= requires a pipeline built with "
+                             "controlnet= (from_pretrained(controlnet=...))")
         save_path_root.mkdir(parents=True, exist_ok=True)
 
         config_path = save_path_root / "prompt_config.json"
@@ -452,6 +503,9 @@ class StableDiffusionWalkPipeline:
             margin = data.get("margin", 1.0)
             smooth = data.get("smooth", 0.0)
             negative_prompt = data.get("negative_prompt")
+            if control_image is None and data.get("control_image"):
+                control_image = data["control_image"]
+            controlnet_scale = data.get("controlnet_scale", controlnet_scale)
             logger.info("resuming %s", save_path_root)
 
         if isinstance(num_interpolation_steps, int):
@@ -471,6 +525,10 @@ class StableDiffusionWalkPipeline:
                 height=height, width=width, audio_filepath=audio_filepath,
                 audio_start_sec=audio_start_sec, margin=margin, smooth=smooth,
                 negative_prompt=negative_prompt,
+                # only a resumable path is persisted (arrays aren't JSON)
+                control_image=(str(control_image) if isinstance(
+                    control_image, (str, Path)) else None),
+                controlnet_scale=controlnet_scale,
                 scheduler=self.engine.scheduler_name,
                 tiled=self.models.tiled,
                 framework="stable_diffusion_videos_tpu",
@@ -559,7 +617,9 @@ class StableDiffusionWalkPipeline:
                         width=width, upsample=upsample, batch_size=batch_size,
                         image_file_ext=image_file_ext, T=T, skip=skip,
                         negative_prompt=negative_prompt,
-                        step=(i, len(clip_pairs)), frame_sink=frame_sink)
+                        step=(i, len(clip_pairs)), frame_sink=frame_sink,
+                        control_image=control_image,
+                        controlnet_scale=controlnet_scale)
                     if frame_sink is not None:
                         with self.timer.stage("encode"):
                             frame_sink.close()
@@ -597,7 +657,8 @@ class StableDiffusionWalkPipeline:
     def img2img(self, image, prompt: str, strength: float = 0.75,
                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
                 eta: float = 0.0, negative_prompt: Optional[str] = None,
-                seed: int = 0, output_type: str = "pil"):
+                seed: int = 0, output_type: str = "pil",
+                control_image=None, controlnet_scale: float = 1.0):
         """Image-to-image: re-noise an input image partway and denoise toward
         ``prompt`` (beyond the reference's feature set; ddim/euler/dpm).
 
@@ -617,12 +678,18 @@ class StableDiffusionWalkPipeline:
                                           (latents.shape[0],) + cond.shape[1:])
         xl_kw = self._xl_pooled_kwargs(prompt, negative_prompt,
                                        latents.shape[0])
+        ctrl_kw = {}
+        if control_image is not None:
+            f = self.models.vae_scale_factor
+            ctrl_kw = dict(control=load_control_image(
+                control_image, latents.shape[1] * f, latents.shape[2] * f),
+                control_scale=controlnet_scale)
         with self.timer.stage("denoise"):
             images = self.engine.img2img(
                 cond, uncond, latents, strength=strength,
                 num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale, eta=eta,
-                key=jax.random.PRNGKey(int(seed)), **xl_kw)
+                key=jax.random.PRNGKey(int(seed)), **xl_kw, **ctrl_kw)
         self.timer.add_frames(len(images))
         if output_type == "pil":
             return self._postprocess(images)

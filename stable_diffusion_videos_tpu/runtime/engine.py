@@ -69,7 +69,8 @@ class Engine:
                  spatial_shard: bool = False,
                  step_cache: Optional[int] = None,
                  step_cache_split: int = 1,
-                 guidance_rescale: float = 0.0):
+                 guidance_rescale: float = 0.0,
+                 controlnet=None):
         self.models = models
         self.mesh = mesh if mesh is not None else make_mesh()
         #: debug=True swaps the fused lax.scan for a per-step python loop so
@@ -119,6 +120,27 @@ class Engine:
         #: all-gathers, scaling a SINGLE frame beyond one chip's HBM
         self.spatial_shard = spatial_shard and self.mesh.shape.get(
             "model", 1) > 1
+        #: optional ControlNetBundle (models/controlnet.py): dispatches that
+        #: pass ``control=`` run its down+mid trunk each step and inject the
+        #: residuals into the UNet's skips (spatially-conditioned walks)
+        self.controlnet = controlnet
+        if controlnet is not None:
+            if controlnet.pixel_factor != self.models.vae_scale_factor:
+                raise ValueError(
+                    f"ControlNet conditioning embedding downsamples "
+                    f"{controlnet.pixel_factor}x but the VAE factor is "
+                    f"{self.models.vae_scale_factor}x")
+            if (controlnet.config.cross_attention_dim
+                    != self.models.unet_config.cross_attention_dim):
+                raise ValueError("ControlNet cross_attention_dim does not "
+                                 "match the bundle's UNet")
+            self._params = dict(self._params)
+            self._params["controlnet"] = replicate(self.mesh,
+                                                   controlnet.params)
+            self._param_shardings = dict(self._param_shardings)
+            self._param_shardings["controlnet"] = jax.tree.map(
+                lambda _: replicated(self.mesh),
+                self._params["controlnet"])
         self._tile_decode_fn = None
         self._encode_fn = None
         self._compiled: dict[tuple, Any] = {}
@@ -266,11 +288,14 @@ class Engine:
             return self._tables_cache[key]
 
     def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int,
-               out_u8: bool = False):
+               out_u8: bool = False, with_ctrl: bool = False):
         sched = self.sched
         unet = self.models.unet()
         vae = self.models.vae()
         scale = self.models.vae_config.scaling_factor
+        ctrl_mod = (self.controlnet.module(dtype=self.models.dtype,
+                                           tiled=self.models.tiled)
+                    if with_ctrl else None)
 
         spatial = None
         if self.spatial_shard:
@@ -280,8 +305,12 @@ class Engine:
         is_xl = self.models.is_xl
         cache_k = self.step_cache if not self.debug else None
         cache_split = self.step_cache_split if cache_k else None
+        if with_ctrl and cache_k:
+            raise ValueError("step_cache and ControlNet cannot combine: the "
+                             "shallow cached pass has no deep skips to "
+                             "inject residuals into")
 
-        def body(params, context, added, guidance, tables, carry, i):
+        def body(params, context, added, ctrl, guidance, tables, carry, i):
             if cache_k:
                 lat, st, deep = carry
             else:
@@ -293,11 +322,24 @@ class Engine:
                 inp2 = jax.lax.with_sharding_constraint(inp2, spatial)
             tb = jnp.broadcast_to(t, (inp2.shape[0],))
 
+            ctrl_kw = {}
+            if ctrl_mod is not None:
+                # ControlNet trunk per step, residuals into the UNet skips;
+                # both CFG halves see the same control image (ctrl[0] is the
+                # CFG-doubled (2B, H, W, 3) map, ctrl[1] the scale)
+                xl_kw = (dict(text_embeds=added[0], time_ids=added[1])
+                         if is_xl and ctrl_mod.config.addition_embed_dim
+                         is not None else {})
+                down_r, mid_r = ctrl_mod.apply(
+                    params["controlnet"], inp2, tb, context, ctrl[0],
+                    conditioning_scale=ctrl[1], **xl_kw)
+                ctrl_kw = dict(ctrl_down=down_r, ctrl_mid=mid_r)
+
             def call_unet(deep_feat):
                 args = (added[0], added[1]) if is_xl else ()
                 return unet.apply(params["unet"], inp2, tb, context, *args,
                                   cache_split=cache_split,
-                                  deep_feature=deep_feat)
+                                  deep_feature=deep_feat, **ctrl_kw)
 
             if cache_k:
                 # full trunk every cache_k steps; shallow splice in between
@@ -327,7 +369,8 @@ class Engine:
 
         tiled_vae = self.vae_tile is not None
 
-        def program(params, context, added, latents, guidance, tables, key):
+        def program(params, context, added, ctrl, latents, guidance, tables,
+                    key):
             lat = latents * sched.init_noise_sigma(tables)
             state = sched.init_state(tables, latents.shape, key=key)
             n_loop = sched.num_loop_steps(tables)
@@ -342,8 +385,8 @@ class Engine:
                     self.models.dtype)
                 carry = (lat, state, deep0)
             carry, _ = jax.lax.scan(
-                lambda c, i: (body(params, context, added, guidance, tables,
-                                   c, i),
+                lambda c, i: (body(params, context, added, ctrl, guidance,
+                                   tables, c, i),
                               None),
                 carry, jnp.arange(n_loop))
             lat = carry[0]
@@ -357,14 +400,15 @@ class Engine:
             step_fn = jax.jit(body)
             decode_fn = jax.jit(decode)
 
-            def debug_program(params, context, added, latents, guidance,
-                              tables, key):
+            def debug_program(params, context, added, ctrl, latents,
+                              guidance, tables, key):
                 lat = latents * sched.init_noise_sigma(tables)
                 state = sched.init_state(tables, latents.shape, key=key)
                 self.debug_latents = []
                 for i in range(sched.num_loop_steps(tables)):
-                    lat, state = step_fn(params, context, added, guidance,
-                                         tables, (lat, state), jnp.int32(i))
+                    lat, state = step_fn(params, context, added, ctrl,
+                                         guidance, tables, (lat, state),
+                                         jnp.int32(i))
                     self.debug_latents.append(lat)
                 return decode_fn(params, lat)
 
@@ -375,18 +419,19 @@ class Engine:
         # shardings are pytree prefixes: one spec per whole subtree (params
         # carry their own full tree — TP-sharded or replicated).  ``added``
         # is () for SD1/2 or the (pooled, time_ids) pair for SDXL, both
-        # batch-sharded.
+        # batch-sharded; ``ctrl`` is () or (CFG-doubled control map, scale).
         added_spec = (bs, bs) if is_xl else ()
+        ctrl_spec = (bs, rep) if with_ctrl else ()
         return jax.jit(
             program,
-            in_shardings=(self._param_shardings, bs, added_spec, bs, rep,
-                          rep, rep),
+            in_shardings=(self._param_shardings, bs, added_spec, ctrl_spec,
+                          bs, rep, rep, rep),
             out_shardings=bs,
         )
 
     def _get_compiled(self, batch, h, w, steps, ctx_len,
-                      out_u8: bool = False):
-        key = (batch, h, w, steps, ctx_len, out_u8)
+                      out_u8: bool = False, with_ctrl: bool = False):
+        key = (batch, h, w, steps, ctx_len, out_u8, with_ctrl)
         with self._cache_lock:
             if key not in self._compiled:
                 logger.info("compiling denoise program %s", key)
@@ -434,12 +479,39 @@ class Engine:
             jax.device_put(tids, bs))
         return added
 
+    def _ctrl_args(self, pad, control, control_scale, B: int, h: int,
+                   w: int):
+        """ControlNet conditioning for one dispatch: the CFG-doubled
+        (2*Bp, H, W, 3) pixel-space control map + the residual scale."""
+        if control is None:
+            return ()
+        if self.controlnet is None:
+            raise ValueError("control= passed but this Engine has no "
+                             "ControlNet (Engine(controlnet=...))")
+        if self.step_cache:
+            raise ValueError("control= cannot combine with step_cache "
+                             "(no deep skips on the cached pass)")
+        c = jnp.asarray(control, jnp.float32)
+        if c.ndim == 3:
+            c = c[None]
+        f = self.models.vae_scale_factor
+        if c.shape[1:] != (h * f, w * f, 3):
+            raise ValueError(f"control map must be (B, {h * f}, {w * f}, 3) "
+                             f"at this dispatch's resolution, got {c.shape}")
+        if c.shape[0] == 1 and B > 1:
+            c = jnp.broadcast_to(c, (B,) + c.shape[1:])
+        c = pad(c)
+        bs = batch_sharding(self.mesh)
+        return (jax.device_put(jnp.concatenate([c, c], axis=0), bs),
+                jnp.float32(control_scale))
+
     def denoise_frames_async(self, cond, uncond, noise, *,
                              num_inference_steps: int = 50,
                              guidance_scale: float = 7.5, eta: float = 0.0,
                              key: Optional[jax.Array] = None,
                              output_dtype: str = "float32",
-                             pooled=None, uncond_pooled=None):
+                             pooled=None, uncond_pooled=None,
+                             control=None, control_scale: float = 1.0):
         """Launch one sharded dispatch; returns (device_array, valid_batch).
 
         cond/uncond: (B, S, D) text embeddings; noise: (B, h, w, 4).
@@ -448,6 +520,11 @@ class Engine:
         (4x less transfer; ignored for tiled decode, which stays float).
         SDXL bundles additionally take ``pooled``/``uncond_pooled``
         (B, Dp) pooled text embeddings (``embed_text_pooled``).
+
+        ``control``: pixel-space conditioning map(s) for the engine's
+        ControlNet — (H, W, 3) or (B, H, W, 3) float in [0, 1] at the output
+        resolution; both CFG halves are conditioned.  ``control_scale``
+        weights the injected residuals (traced — no recompile).
         """
         B = noise.shape[0]
         Bp = pad_to_multiple(max(B, self.batch_bucket), self.batch_bucket)
@@ -470,14 +547,15 @@ class Engine:
         noise_p = jax.device_put(noise_p, bs)
         h, w = noise.shape[1], noise.shape[2]
         added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w)
+        ctrl = self._ctrl_args(pad, control, control_scale, B, h, w)
         tables = self._tables(num_inference_steps, eta)
         out_u8 = output_dtype == "uint8" and self.vae_tile is None
         fn = self._get_compiled(Bp, h, w, num_inference_steps, cond.shape[1],
-                                out_u8)
+                                out_u8, with_ctrl=bool(ctrl))
         if key is None:
             key = jax.random.PRNGKey(0)
         with _trace("denoise_dispatch"):
-            imgs = fn(self._params, context, added, noise_p,
+            imgs = fn(self._params, context, added, ctrl, noise_p,
                       jnp.float32(guidance_scale), tables, key)
         if self.vae_tile is not None:
             imgs = self.decode_latents_tiled(imgs)
@@ -640,7 +718,8 @@ class Engine:
     def img2img(self, cond, uncond, init_latents, *, strength: float = 0.75,
                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
                 eta: float = 0.0, key=None, pooled=None,
-                uncond_pooled=None) -> np.ndarray:
+                uncond_pooled=None, control=None,
+                control_scale: float = 1.0) -> np.ndarray:
         """Denoise from a noised version of ``init_latents`` (scaled VAE
         means, (B, h, w, 4)): ``strength`` in (0, 1] controls how much of the
         schedule runs (1.0 == full txt2img from noise)."""
@@ -680,10 +759,11 @@ class Engine:
         noisy_p = jax.device_put(pad(noisy), bs)
         h, w = noisy.shape[1], noisy.shape[2]
         added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w)
+        ctrl = self._ctrl_args(pad, control, control_scale, B, h, w)
         fn = self._get_compiled(Bp, h, w,
                                 ("img2img", num_inference_steps, k0),
-                                cond.shape[1])
-        imgs = fn(self._params, context, added, noisy_p,
+                                cond.shape[1], with_ctrl=bool(ctrl))
+        imgs = fn(self._params, context, added, ctrl, noisy_p,
                   jnp.float32(guidance_scale), sliced, key)
         if self.vae_tile is not None:
             imgs = self.decode_latents_tiled(imgs)

@@ -159,3 +159,145 @@ def test_load_controlnet_dir_and_bare_file(tmp_path):
     cond = jnp.zeros((1, 16, 16, 3))
     down, mid = b1.module().apply(b1.params, lat, jnp.zeros((1,)), ctx, cond)
     assert len(down) == 1 + 2 * 1 + 1
+
+
+# ---------------------------------------------------------------------------
+# engine plumbing
+# ---------------------------------------------------------------------------
+
+def test_engine_control_dispatch():
+    """One fused dispatch with a ControlNet: control steers the frames,
+    control_scale=0 reproduces the uncontrolled program exactly, and a
+    controlless dispatch on the same engine still works."""
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    models = SDModels.tiny()
+    bundle = ControlNetBundle.tiny(perturb=True)
+    eng = Engine(models, scheduler="ddim", controlnet=bundle)
+    cond = eng.embed_text(["a forest", "a city"])
+    uncond = eng.embed_text("")
+    noise = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    size = models.default_size
+    ctrl = jax.random.uniform(jax.random.PRNGKey(1), (2, size, size, 3))
+
+    base = eng.denoise_frames(cond, uncond, noise, num_inference_steps=3)
+    out = eng.denoise_frames(cond, uncond, noise, num_inference_steps=3,
+                             control=ctrl)
+    assert out.shape == base.shape
+    assert float(np.abs(out - base).max()) > 1e-4
+
+    zero = eng.denoise_frames(cond, uncond, noise, num_inference_steps=3,
+                              control=ctrl, control_scale=0.0)
+    np.testing.assert_allclose(zero, base, atol=1e-5)
+
+    # single control map broadcasts over the batch
+    one = eng.denoise_frames(cond, uncond, noise, num_inference_steps=3,
+                             control=ctrl[:1])
+    assert one.shape == base.shape
+
+
+def test_engine_control_errors():
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    models = SDModels.tiny()
+    eng = Engine(models, scheduler="ddim")
+    cond = eng.embed_text("a")
+    noise = jnp.zeros((1, 8, 8, 4))
+    size = models.default_size
+    with pytest.raises(ValueError, match="no ControlNet"):
+        eng.denoise_frames(cond, cond, noise, num_inference_steps=2,
+                           control=jnp.zeros((1, size, size, 3)))
+
+    bundle = ControlNetBundle.tiny()
+    eng2 = Engine(models, scheduler="ddim", controlnet=bundle)
+    with pytest.raises(ValueError, match="resolution"):
+        eng2.denoise_frames(cond, cond, noise, num_inference_steps=2,
+                            control=jnp.zeros((1, size * 2, size * 2, 3)))
+
+    eng3 = Engine(models, scheduler="ddim", controlnet=bundle, step_cache=2)
+    with pytest.raises(ValueError, match="step_cache"):
+        eng3.denoise_frames(cond, cond, noise, num_inference_steps=2,
+                            control=jnp.zeros((1, size, size, 3)))
+
+
+def test_engine_control_img2img():
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    models = SDModels.tiny()
+    bundle = ControlNetBundle.tiny(perturb=True)
+    eng = Engine(models, scheduler="ddim", controlnet=bundle)
+    cond = eng.embed_text("a")
+    size = models.default_size
+    init = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4)) * 0.1
+    ctrl = jax.random.uniform(jax.random.PRNGKey(3), (1, size, size, 3))
+    base = eng.img2img(cond, cond, init, strength=0.6,
+                       num_inference_steps=4)
+    out = eng.img2img(cond, cond, init, strength=0.6,
+                      num_inference_steps=4, control=ctrl)
+    assert out.shape == base.shape
+    assert float(np.abs(out - base).max()) > 1e-5
+
+
+# ---------------------------------------------------------------------------
+# pipeline plumbing
+# ---------------------------------------------------------------------------
+
+def test_walk_with_control_image(tmp_path):
+    """walk(control_image=) runs end to end, persists the control settings
+    in prompt_config.json, and fails fast without a controlnet."""
+    import json
+    from PIL import Image
+    from stable_diffusion_videos_tpu.pipeline import \
+        StableDiffusionWalkPipeline
+
+    bundle = ControlNetBundle.tiny(perturb=True)
+    pipe = StableDiffusionWalkPipeline(SDModels.tiny(), scheduler="ddim",
+                                       controlnet=bundle)
+    size = pipe.models.default_size
+    ctrl_path = tmp_path / "pose.png"
+    Image.fromarray(
+        (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    ).save(ctrl_path)  # deliberately wrong size: loader must resize
+
+    out = pipe.walk(prompts=["a", "b"], seeds=[1, 2],
+                    num_interpolation_steps=3, output_dir=str(tmp_path),
+                    name="ctrl", num_inference_steps=2, fps=5,
+                    control_image=str(ctrl_path), controlnet_scale=0.7,
+                    make_video=False)
+    frames = sorted((tmp_path / "ctrl" / "ctrl_000000").glob("frame*.png"))
+    assert len(frames) == 3
+    cfg = json.loads((tmp_path / "ctrl" / "prompt_config.json").read_text())
+    assert cfg["control_image"] == str(ctrl_path)
+    assert cfg["controlnet_scale"] == 0.7
+
+    plain = StableDiffusionWalkPipeline(SDModels.tiny(), scheduler="ddim")
+    with pytest.raises(ValueError, match="controlnet"):
+        plain.walk(prompts=["a", "b"], seeds=[1, 2],
+                   num_interpolation_steps=2, output_dir=str(tmp_path),
+                   name="noctrl", num_inference_steps=2,
+                   control_image=str(ctrl_path))
+
+
+def test_control_steers_walk_frames(tmp_path):
+    """The same walk with and without control produces different frames
+    (and with control_scale=0 identical ones)."""
+    from stable_diffusion_videos_tpu.pipeline import \
+        StableDiffusionWalkPipeline
+
+    bundle = ControlNetBundle.tiny(perturb=True)
+    pipe = StableDiffusionWalkPipeline(SDModels.tiny(), scheduler="ddim",
+                                       controlnet=bundle)
+    size = pipe.models.default_size
+    ctrl = np.random.RandomState(1).rand(size, size, 3).astype(np.float32)
+
+    def frames(name, **kw):
+        pipe.walk(prompts=["a", "b"], seeds=[1, 2],
+                  num_interpolation_steps=2, output_dir=str(tmp_path),
+                  name=name, num_inference_steps=2, make_video=False, **kw)
+        from PIL import Image
+        return np.stack([
+            np.asarray(Image.open(f)) for f in
+            sorted((tmp_path / name / f"{name}_000000").glob("frame*.png"))])
+
+    base = frames("base")
+    ctrled = frames("with", control_image=ctrl)
+    zeroed = frames("zero", control_image=ctrl, controlnet_scale=0.0)
+    assert (ctrled != base).any()
+    np.testing.assert_array_equal(zeroed, base)

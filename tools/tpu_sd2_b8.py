@@ -140,8 +140,8 @@ def main():
         context = jax.device_put(jnp.concatenate(
             [jnp.broadcast_to(cond[:1], cond.shape), cond], axis=0), bs)
         noise_p = jax.device_put(noise, bs)
-        args = (eng_lat._params, context, (), noise_p, jnp.float32(7.5),
-                tables, jax.random.PRNGKey(0))
+        args = (eng_lat._params, context, (), (), noise_p,
+                jnp.float32(7.5), tables, jax.random.PRNGKey(0))
         t0 = time.perf_counter()
         lat = fn_lat(*args)
         sync(lat)
