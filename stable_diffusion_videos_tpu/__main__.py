@@ -26,7 +26,7 @@ def _add_common(ap):
                          "v-models (SD2-768); default epsilon")
     ap.add_argument("--scheduler", default="pndm",
                     choices=["pndm", "ddim", "lms", "euler", "unipc",
-                             "euler_ancestral", "dpm"])
+                             "euler_ancestral", "dpm", "lcm"])
     ap.add_argument("--tiled", action="store_true",
                     help="circular convs -> seamlessly tileable frames")
     ap.add_argument("--batch-size", type=int, default=None,

@@ -231,8 +231,8 @@ def register(cls):
 
 def get_scheduler(name: str) -> Scheduler:
     """Look up a sampler by name ('ddim', 'pndm', 'lms', 'euler',
-    'euler_ancestral', 'dpm', 'unipc')."""
-    from . import ddim, dpm, euler, lms, pndm, unipc  # noqa: F401  (registration)
+    'euler_ancestral', 'dpm', 'unipc', 'lcm')."""
+    from . import ddim, dpm, euler, lcm, lms, pndm, unipc  # noqa: F401  (registration)
     if name not in _REGISTRY:
         raise KeyError(f"unknown scheduler {name!r}; have {sorted(_REGISTRY)}")
     return _REGISTRY[name]
