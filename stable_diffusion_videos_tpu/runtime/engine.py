@@ -691,12 +691,12 @@ class Engine:
     def _sliced_tables(self, tables: SchedTables, k0: int) -> SchedTables:
         """Drop the first ``k0`` loop steps (img2img starts mid-schedule).
         Valid for index-aligned-table samplers (ddim/euler/euler_ancestral/
-        dpm); pndm/lms carry warm-up history so a mid-schedule entry would
-        be wrong, not just unimplemented."""
+        dpm/lcm); pndm/lms carry warm-up history so a mid-schedule entry
+        would be wrong, not just unimplemented."""
         if self.scheduler_name not in ("ddim", "euler", "euler_ancestral",
-                                       "dpm"):
+                                       "dpm", "lcm"):
             raise NotImplementedError(
-                f"img2img supports ddim/euler/euler_ancestral/dpm "
+                f"img2img supports ddim/euler/euler_ancestral/dpm/lcm "
                 f"(index-aligned tables); {self.scheduler_name} carries "
                 f"warm-up history")
         d = {}
@@ -780,9 +780,9 @@ class Engine:
         init_latents: (B, h, w, 4) scaled VAE means; mask: (B, h, w, 1)
         float in [0, 1] at latent resolution."""
         if self.scheduler_name not in ("ddim", "euler", "euler_ancestral",
-                                       "dpm"):
+                                       "dpm", "lcm"):
             raise NotImplementedError(
-                "inpaint supports ddim/euler/euler_ancestral/dpm (needs "
+                "inpaint supports ddim/euler/euler_ancestral/dpm/lcm (needs "
                 "per-index noise levels; warm-up samplers not supported)")
         tables = self._tables(num_inference_steps, eta)
         if key is None:

@@ -133,3 +133,20 @@ def test_lcm_engine_dispatch():
     out2 = eng.denoise_frames(cond, eng.embed_text(""), noise,
                               num_inference_steps=4, guidance_scale=1.0)
     np.testing.assert_array_equal(out, out2)
+
+
+def test_lcm_img2img_and_inpaint():
+    """LCM's tables are index-aligned, so mid-schedule entry (img2img) and
+    per-index noise levels (inpaint) are valid."""
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    eng = Engine(SDModels.tiny(), scheduler="lcm")
+    cond = eng.embed_text("a")
+    init = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4)) * 0.1
+    out = eng.img2img(cond, cond, init, strength=0.5,
+                      num_inference_steps=4, guidance_scale=1.0)
+    assert out.shape == (1, 16, 16, 3) and np.isfinite(out).all()
+    mask = jnp.ones((1, 8, 8, 1))
+    out2 = eng.inpaint(cond, cond, init, mask, num_inference_steps=4,
+                       guidance_scale=1.0)
+    assert out2.shape == (1, 16, 16, 3) and np.isfinite(out2).all()
