@@ -60,14 +60,19 @@ def _add_common(ap):
                     help="textual-inversion embedding file (diffusers "
                          "learned_embeds / A1111 .pt / SDXL clip_l+clip_g) "
                          "spliced into the tokenizer+text tower; repeatable")
-    ap.add_argument("--controlnet", default=None, metavar="PATH",
+    ap.add_argument("--controlnet", action="append", default=None,
+                    metavar="PATH",
                     help="diffusers-layout ControlNetModel dir or weights "
-                         "file; combine with --control-image")
-    ap.add_argument("--control-image", default=None, metavar="IMG",
+                         "file; combine with --control-image (repeatable "
+                         "for multi-ControlNet, one image per net)")
+    ap.add_argument("--control-image", action="append", default=None,
+                    metavar="IMG",
                     help="conditioning map (canny/depth/pose image) every "
-                         "frame is structurally locked to")
-    ap.add_argument("--controlnet-scale", type=float, default=1.0,
-                    help="ControlNet residual weight (traced; no recompile)")
+                         "frame is structurally locked to; repeatable")
+    ap.add_argument("--controlnet-scale", action="append", type=float,
+                    default=None, metavar="S",
+                    help="ControlNet residual weight (traced; no recompile; "
+                         "repeatable per net, default 1.0)")
     ap.add_argument("--freeu", nargs="*", type=float, default=None,
                     metavar="B1 B2 S1 S2",
                     help="FreeU backbone/skip re-weighting: bare flag = the "
@@ -90,7 +95,7 @@ def _pipeline(args):
         kw["textual_inversion"] = [parse_ti_arg(a) for a in ti]
     cn = getattr(args, "controlnet", None)
     if cn:
-        kw["controlnet"] = cn
+        kw["controlnet"] = cn if len(cn) > 1 else cn[0]
     fu = getattr(args, "freeu", None)
     if fu is not None:
         if len(fu) not in (0, 4):
@@ -98,8 +103,12 @@ def _pipeline(args):
                   file=sys.stderr)
             raise SystemExit(2)
         kw["freeu"] = True if len(fu) == 0 else tuple(fu)
-    if getattr(args, "control_image", None) and not cn:
+    ci = getattr(args, "control_image", None)
+    if ci and not cn:
         print("--control-image requires --controlnet", file=sys.stderr)
+        raise SystemExit(2)
+    if ci and cn and len(ci) != len(cn):
+        print("need one --control-image per --controlnet", file=sys.stderr)
         raise SystemExit(2)
     if args.checkpoint is None:
         if lora or ti:
@@ -113,6 +122,20 @@ def _pipeline(args):
         args.checkpoint, tiled=args.tiled,
         tokenizer_dir=getattr(args, "tokenizer_dir", None),
         prediction_type=getattr(args, "prediction_type", None), **kw)
+
+
+def _ctrl_image(args):
+    ci = getattr(args, "control_image", None)
+    if not ci:
+        return None
+    return ci if len(ci) > 1 else ci[0]
+
+
+def _ctrl_scale(args):
+    cs = getattr(args, "controlnet_scale", None)
+    if not cs:
+        return 1.0
+    return cs if len(cs) > 1 else cs[0]
 
 
 def cmd_walk(args):
@@ -130,8 +153,8 @@ def cmd_walk(args):
         audio_filepath=args.audio, audio_start_sec=args.audio_start_sec,
         margin=args.margin, smooth=args.smooth,
         negative_prompt=args.negative_prompt,
-        control_image=args.control_image,
-        controlnet_scale=args.controlnet_scale)
+        control_image=_ctrl_image(args),
+        controlnet_scale=_ctrl_scale(args))
     print(video)
 
 
@@ -147,8 +170,8 @@ def cmd_images(args):
         height=args.height, width=args.width,
         negative_prompt=args.negative_prompt,
         push_to_hub=args.push_to_hub, repo_id=args.repo_id,
-        control_image=args.control_image,
-        controlnet_scale=args.controlnet_scale)
+        control_image=_ctrl_image(args),
+        controlnet_scale=_ctrl_scale(args))
     print("\n".join(paths))
 
 

@@ -81,9 +81,14 @@ class StableDiffusionWalkPipeline:
             # published per-family factors, or an explicit (b1, b2, s1, s2)
             models = models.with_freeu(freeu)
         self.models = models
-        if isinstance(controlnet, (str, Path)):
+        if controlnet is not None:
             from ..models.weights import load_controlnet
-            controlnet = load_controlnet(controlnet)
+            if isinstance(controlnet, (str, Path)):
+                controlnet = load_controlnet(controlnet)
+            elif isinstance(controlnet, (list, tuple)):
+                controlnet = [load_controlnet(c)
+                              if isinstance(c, (str, Path)) else c
+                              for c in controlnet]
         self.engine = Engine(models, mesh=mesh, scheduler=scheduler,
                              batch_bucket=batch_bucket,
                              step_cache=step_cache,
@@ -316,7 +321,11 @@ class StableDiffusionWalkPipeline:
                 raise ValueError("control_image= requires a pipeline built "
                                  "with controlnet= (from_pretrained("
                                  "controlnet=...) or Engine(controlnet=...))")
-            control = load_control_image(control_image, height, width)
+            if isinstance(control_image, (list, tuple)):  # multi-ControlNet
+                control = [load_control_image(c, height, width)
+                           for c in control_image]
+            else:
+                control = load_control_image(control_image, height, width)
         save_path = Path(save_path)
         save_path.mkdir(parents=True, exist_ok=True)
 
@@ -525,9 +534,15 @@ class StableDiffusionWalkPipeline:
                 height=height, width=width, audio_filepath=audio_filepath,
                 audio_start_sec=audio_start_sec, margin=margin, smooth=smooth,
                 negative_prompt=negative_prompt,
-                # only a resumable path is persisted (arrays aren't JSON)
-                control_image=(str(control_image) if isinstance(
-                    control_image, (str, Path)) else None),
+                # only resumable path(s) are persisted (arrays aren't JSON)
+                control_image=(
+                    str(control_image)
+                    if isinstance(control_image, (str, Path))
+                    else [str(c) for c in control_image]
+                    if (isinstance(control_image, (list, tuple))
+                        and all(isinstance(c, (str, Path))
+                                for c in control_image))
+                    else None),
                 controlnet_scale=controlnet_scale,
                 scheduler=self.engine.scheduler_name,
                 tiled=self.models.tiled,

@@ -120,23 +120,28 @@ class Engine:
         #: all-gathers, scaling a SINGLE frame beyond one chip's HBM
         self.spatial_shard = spatial_shard and self.mesh.shape.get(
             "model", 1) > 1
-        #: optional ControlNetBundle (models/controlnet.py): dispatches that
-        #: pass ``control=`` run its down+mid trunk each step and inject the
-        #: residuals into the UNet's skips (spatially-conditioned walks)
-        self.controlnet = controlnet
-        if controlnet is not None:
-            if controlnet.pixel_factor != self.models.vae_scale_factor:
-                raise ValueError(
-                    f"ControlNet conditioning embedding downsamples "
-                    f"{controlnet.pixel_factor}x but the VAE factor is "
-                    f"{self.models.vae_scale_factor}x")
-            if (controlnet.config.cross_attention_dim
-                    != self.models.unet_config.cross_attention_dim):
-                raise ValueError("ControlNet cross_attention_dim does not "
-                                 "match the bundle's UNet")
+        #: optional ControlNetBundle (or list of them — multi-ControlNet,
+        #: e.g. canny+depth): dispatches that pass ``control=`` run each
+        #: net's down+mid trunk per step and inject the summed residuals
+        #: into the UNet's skips (spatially-conditioned walks)
+        if controlnet is not None and not isinstance(controlnet,
+                                                     (list, tuple)):
+            controlnet = [controlnet]
+        self.controlnet = list(controlnet) if controlnet else None
+        if self.controlnet:
+            for cn in self.controlnet:
+                if cn.pixel_factor != self.models.vae_scale_factor:
+                    raise ValueError(
+                        f"ControlNet conditioning embedding downsamples "
+                        f"{cn.pixel_factor}x but the VAE factor is "
+                        f"{self.models.vae_scale_factor}x")
+                if (cn.config.cross_attention_dim
+                        != self.models.unet_config.cross_attention_dim):
+                    raise ValueError("ControlNet cross_attention_dim does "
+                                     "not match the bundle's UNet")
             self._params = dict(self._params)
-            self._params["controlnet"] = replicate(self.mesh,
-                                                   controlnet.params)
+            self._params["controlnet"] = [replicate(self.mesh, cn.params)
+                                          for cn in self.controlnet]
             self._param_shardings = dict(self._param_shardings)
             self._param_shardings["controlnet"] = jax.tree.map(
                 lambda _: replicated(self.mesh),
@@ -288,14 +293,15 @@ class Engine:
             return self._tables_cache[key]
 
     def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int,
-               out_u8: bool = False, with_ctrl: bool = False):
+               out_u8: bool = False, with_ctrl: bool = False,
+               guess_mode: bool = False):
         sched = self.sched
         unet = self.models.unet()
         vae = self.models.vae()
         scale = self.models.vae_config.scaling_factor
-        ctrl_mod = (self.controlnet.module(dtype=self.models.dtype,
-                                           tiled=self.models.tiled)
-                    if with_ctrl else None)
+        ctrl_mods = ([cn.module(dtype=self.models.dtype,
+                                tiled=self.models.tiled)
+                      for cn in self.controlnet] if with_ctrl else None)
 
         spatial = None
         if self.spatial_shard:
@@ -323,17 +329,37 @@ class Engine:
             tb = jnp.broadcast_to(t, (inp2.shape[0],))
 
             ctrl_kw = {}
-            if ctrl_mod is not None:
-                # ControlNet trunk per step, residuals into the UNet skips;
-                # both CFG halves see the same control image (ctrl[0] is the
-                # CFG-doubled (2B, H, W, 3) map, ctrl[1] the scale)
-                xl_kw = (dict(text_embeds=added[0], time_ids=added[1])
-                         if is_xl and ctrl_mod.config.addition_embed_dim
-                         is not None else {})
-                down_r, mid_r = ctrl_mod.apply(
-                    params["controlnet"], inp2, tb, context, ctrl[0],
-                    conditioning_scale=ctrl[1], **xl_kw)
-                ctrl_kw = dict(ctrl_down=down_r, ctrl_mid=mid_r)
+            if ctrl_mods is not None:
+                # ControlNet trunk(s) per step, summed residuals into the
+                # UNet skips; both CFG halves see the same control map(s)
+                # (ctrl = ((map, scale), ...) — maps CFG-doubled to 2B rows).
+                # guess_mode zeroes the uncond half's residuals so only the
+                # conditional branch is steered (stronger structure at low
+                # guidance, the published "guess mode" behaviour).
+                down_sum, mid_sum = None, None
+                for mod, p, (cmap, cscale) in zip(ctrl_mods,
+                                                  params["controlnet"],
+                                                  ctrl):
+                    xl_kw = (dict(text_embeds=added[0], time_ids=added[1])
+                             if is_xl and mod.config.addition_embed_dim
+                             is not None else {})
+                    down_r, mid_r = mod.apply(p, inp2, tb, context, cmap,
+                                              conditioning_scale=cscale,
+                                              **xl_kw)
+                    if down_sum is None:
+                        down_sum, mid_sum = list(down_r), mid_r
+                    else:
+                        down_sum = [a + b for a, b in zip(down_sum, down_r)]
+                        mid_sum = mid_sum + mid_r
+                if guess_mode:
+                    half = inp2.shape[0] // 2
+                    keep = jnp.concatenate([
+                        jnp.zeros((half,), self.models.dtype),
+                        jnp.ones((inp2.shape[0] - half,),
+                                 self.models.dtype)])[:, None, None, None]
+                    down_sum = [d * keep for d in down_sum]
+                    mid_sum = mid_sum * keep
+                ctrl_kw = dict(ctrl_down=tuple(down_sum), ctrl_mid=mid_sum)
 
             def call_unet(deep_feat):
                 args = (added[0], added[1]) if is_xl else ()
@@ -419,9 +445,11 @@ class Engine:
         # shardings are pytree prefixes: one spec per whole subtree (params
         # carry their own full tree — TP-sharded or replicated).  ``added``
         # is () for SD1/2 or the (pooled, time_ids) pair for SDXL, both
-        # batch-sharded; ``ctrl`` is () or (CFG-doubled control map, scale).
+        # batch-sharded; ``ctrl`` is () or one (CFG-doubled control map,
+        # scale) pair per ControlNet.
         added_spec = (bs, bs) if is_xl else ()
-        ctrl_spec = (bs, rep) if with_ctrl else ()
+        ctrl_spec = (tuple((bs, rep) for _ in self.controlnet)
+                     if with_ctrl else ())
         return jax.jit(
             program,
             in_shardings=(self._param_shardings, bs, added_spec, ctrl_spec,
@@ -430,8 +458,9 @@ class Engine:
         )
 
     def _get_compiled(self, batch, h, w, steps, ctx_len,
-                      out_u8: bool = False, with_ctrl: bool = False):
-        key = (batch, h, w, steps, ctx_len, out_u8, with_ctrl)
+                      out_u8: bool = False, with_ctrl: bool = False,
+                      guess_mode: bool = False):
+        key = (batch, h, w, steps, ctx_len, out_u8, with_ctrl, guess_mode)
         with self._cache_lock:
             if key not in self._compiled:
                 logger.info("compiling denoise program %s", key)
@@ -481,8 +510,12 @@ class Engine:
 
     def _ctrl_args(self, pad, control, control_scale, B: int, h: int,
                    w: int):
-        """ControlNet conditioning for one dispatch: the CFG-doubled
-        (2*Bp, H, W, 3) pixel-space control map + the residual scale."""
+        """ControlNet conditioning for one dispatch: one (CFG-doubled
+        (2*Bp, H, W, 3) pixel-space map, residual scale) pair per net.
+
+        ``control``: one map — (H, W, 3) or (B, H, W, 3) — for a single
+        ControlNet, or a list of maps matching the engine's ControlNet
+        list; ``control_scale``: float or per-net list."""
         if control is None:
             return ()
         if self.controlnet is None:
@@ -491,19 +524,34 @@ class Engine:
         if self.step_cache:
             raise ValueError("control= cannot combine with step_cache "
                              "(no deep skips on the cached pass)")
-        c = jnp.asarray(control, jnp.float32)
-        if c.ndim == 3:
-            c = c[None]
+        n = len(self.controlnet)
+        maps = control if isinstance(control, (list, tuple)) else [control]
+        if len(maps) != n:
+            raise ValueError(f"this engine has {n} ControlNet(s) but got "
+                             f"{len(maps)} control map(s)")
+        scales = (list(control_scale)
+                  if isinstance(control_scale, (list, tuple))
+                  else [control_scale] * n)
+        if len(scales) != n:
+            raise ValueError(f"{len(scales)} control_scale values for "
+                             f"{n} ControlNet(s)")
         f = self.models.vae_scale_factor
-        if c.shape[1:] != (h * f, w * f, 3):
-            raise ValueError(f"control map must be (B, {h * f}, {w * f}, 3) "
-                             f"at this dispatch's resolution, got {c.shape}")
-        if c.shape[0] == 1 and B > 1:
-            c = jnp.broadcast_to(c, (B,) + c.shape[1:])
-        c = pad(c)
         bs = batch_sharding(self.mesh)
-        return (jax.device_put(jnp.concatenate([c, c], axis=0), bs),
-                jnp.float32(control_scale))
+        out = []
+        for cmap, cscale in zip(maps, scales):
+            c = jnp.asarray(cmap, jnp.float32)
+            if c.ndim == 3:
+                c = c[None]
+            if c.shape[1:] != (h * f, w * f, 3):
+                raise ValueError(
+                    f"control map must be (B, {h * f}, {w * f}, 3) at this "
+                    f"dispatch's resolution, got {c.shape}")
+            if c.shape[0] == 1 and B > 1:
+                c = jnp.broadcast_to(c, (B,) + c.shape[1:])
+            c = pad(c)
+            out.append((jax.device_put(jnp.concatenate([c, c], axis=0), bs),
+                        jnp.float32(cscale)))
+        return tuple(out)
 
     def denoise_frames_async(self, cond, uncond, noise, *,
                              num_inference_steps: int = 50,
@@ -511,7 +559,8 @@ class Engine:
                              key: Optional[jax.Array] = None,
                              output_dtype: str = "float32",
                              pooled=None, uncond_pooled=None,
-                             control=None, control_scale: float = 1.0):
+                             control=None, control_scale=1.0,
+                             guess_mode: bool = False):
         """Launch one sharded dispatch; returns (device_array, valid_batch).
 
         cond/uncond: (B, S, D) text embeddings; noise: (B, h, w, 4).
@@ -523,8 +572,11 @@ class Engine:
 
         ``control``: pixel-space conditioning map(s) for the engine's
         ControlNet — (H, W, 3) or (B, H, W, 3) float in [0, 1] at the output
-        resolution; both CFG halves are conditioned.  ``control_scale``
-        weights the injected residuals (traced — no recompile).
+        resolution (a list of maps for multi-ControlNet engines); both CFG
+        halves are conditioned.  ``control_scale`` weights the injected
+        residuals per net (traced — no recompile).  ``guess_mode=True``
+        steers only the conditional CFG branch (static — compiles its own
+        program variant).
         """
         B = noise.shape[0]
         Bp = pad_to_multiple(max(B, self.batch_bucket), self.batch_bucket)
@@ -551,7 +603,8 @@ class Engine:
         tables = self._tables(num_inference_steps, eta)
         out_u8 = output_dtype == "uint8" and self.vae_tile is None
         fn = self._get_compiled(Bp, h, w, num_inference_steps, cond.shape[1],
-                                out_u8, with_ctrl=bool(ctrl))
+                                out_u8, with_ctrl=bool(ctrl),
+                                guess_mode=guess_mode and bool(ctrl))
         if key is None:
             key = jax.random.PRNGKey(0)
         with _trace("denoise_dispatch"):
@@ -719,7 +772,7 @@ class Engine:
                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
                 eta: float = 0.0, key=None, pooled=None,
                 uncond_pooled=None, control=None,
-                control_scale: float = 1.0) -> np.ndarray:
+                control_scale=1.0, guess_mode: bool = False) -> np.ndarray:
         """Denoise from a noised version of ``init_latents`` (scaled VAE
         means, (B, h, w, 4)): ``strength`` in (0, 1] controls how much of the
         schedule runs (1.0 == full txt2img from noise)."""
@@ -762,7 +815,8 @@ class Engine:
         ctrl = self._ctrl_args(pad, control, control_scale, B, h, w)
         fn = self._get_compiled(Bp, h, w,
                                 ("img2img", num_inference_steps, k0),
-                                cond.shape[1], with_ctrl=bool(ctrl))
+                                cond.shape[1], with_ctrl=bool(ctrl),
+                                guess_mode=guess_mode and bool(ctrl))
         imgs = fn(self._params, context, added, ctrl, noisy_p,
                   jnp.float32(guidance_scale), sliced, key)
         if self.vae_tile is not None:

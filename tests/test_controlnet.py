@@ -301,3 +301,45 @@ def test_control_steers_walk_frames(tmp_path):
     zeroed = frames("zero", control_image=ctrl, controlnet_scale=0.0)
     assert (ctrled != base).any()
     np.testing.assert_array_equal(zeroed, base)
+
+
+def test_multi_controlnet_and_guess_mode():
+    """Two ControlNets: residuals sum (scale-0 on one == dropping it), and
+    guess_mode steers only the conditional CFG branch."""
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    models = SDModels.tiny()
+    b1 = ControlNetBundle.tiny(perturb=True, seed=0)
+    b2 = ControlNetBundle.tiny(perturb=True, seed=42)
+    size = models.default_size
+    noise = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    c1 = jax.random.uniform(jax.random.PRNGKey(1), (2, size, size, 3))
+    c2 = jax.random.uniform(jax.random.PRNGKey(2), (2, size, size, 3))
+
+    eng2 = Engine(models, scheduler="ddim", controlnet=[b1, b2])
+    cond = eng2.embed_text(["a", "b"])
+    uncond = eng2.embed_text("")
+    both = eng2.denoise_frames(cond, uncond, noise, num_inference_steps=2,
+                               control=[c1, c2])
+    second_off = eng2.denoise_frames(cond, uncond, noise,
+                                     num_inference_steps=2,
+                                     control=[c1, c2],
+                                     control_scale=[1.0, 0.0])
+    eng1 = Engine(models, scheduler="ddim", controlnet=b1)
+    only_first = eng1.denoise_frames(cond, uncond, noise,
+                                     num_inference_steps=2, control=c1)
+    assert float(np.abs(both - second_off).max()) > 1e-5
+    np.testing.assert_allclose(second_off, only_first, atol=1e-5)
+
+    with pytest.raises(ValueError, match="control map"):
+        eng2.denoise_frames(cond, uncond, noise, num_inference_steps=2,
+                            control=[c1])
+
+    # guess mode: different program, still runs; scale-0 equals baseline
+    guess = eng1.denoise_frames(cond, uncond, noise, num_inference_steps=2,
+                                control=c1, guess_mode=True)
+    plain = eng1.denoise_frames(cond, uncond, noise, num_inference_steps=2)
+    assert float(np.abs(guess - plain).max()) > 1e-5
+    guess0 = eng1.denoise_frames(cond, uncond, noise, num_inference_steps=2,
+                                 control=c1, guess_mode=True,
+                                 control_scale=0.0)
+    np.testing.assert_allclose(guess0, plain, atol=1e-5)
