@@ -66,6 +66,29 @@ def load_control_image(image, height: int, width: int) -> np.ndarray:
     return image
 
 
+def load_control_source(source, height: int, width: int) -> np.ndarray:
+    """Control conditioning source -> (N, height, width, 3) float32.
+
+    N == 1: one map locks every frame of the clip (``load_control_image``
+    inputs).  N > 1: a PER-FRAME control sequence — a directory of image
+    files (sorted by name; e.g. an extracted pose/depth video) or an
+    (N, H, W, 3) array — animating the structure under the prompt walk."""
+    if isinstance(source, (str, Path)) and Path(source).is_dir():
+        files = sorted(p for p in Path(source).iterdir()
+                       if p.suffix.lower() in (".png", ".jpg", ".jpeg",
+                                               ".bmp", ".webp"))
+        if not files:
+            raise ValueError(f"control directory {source} has no images")
+        return np.concatenate([load_control_image(f, height, width)
+                               for f in files])
+    arr = source
+    if (hasattr(arr, "ndim") and getattr(arr, "ndim", 0) == 4
+            and arr.shape[0] > 1):
+        return np.concatenate([load_control_image(a, height, width)
+                               for a in np.asarray(arr)])
+    return load_control_image(source, height, width)
+
+
 class StableDiffusionWalkPipeline:
     def __init__(self, models: SDModels, scheduler: str = "pndm", mesh=None,
                  batch_bucket: Optional[int] = None,
@@ -307,10 +330,12 @@ class StableDiffusionWalkPipeline:
         """Generate frames for one prompt-pair clip (reference
         ``make_clip_frames``, ``stable_diffusion_pipeline.py:481-554``).
 
-        ``control_image``: path / PIL / array ControlNet conditioning map —
-        every frame of the clip is structurally locked to it while the
-        prompt/noise walk morphs the content (requires the pipeline's
-        ``controlnet=``)."""
+        ``control_image``: ControlNet conditioning (requires the pipeline's
+        ``controlnet=``) — a path/PIL/array map that locks every frame of
+        the clip, a DIRECTORY of per-frame maps (a control video: the
+        structure animates under the prompt walk; must hold exactly
+        ``num_interpolation_steps`` images), or a list of either for
+        multi-ControlNet."""
         if upsample:
             self._ensure_upsampler(upsample_weights)
         height = height or self.models.default_size
@@ -321,11 +346,15 @@ class StableDiffusionWalkPipeline:
                 raise ValueError("control_image= requires a pipeline built "
                                  "with controlnet= (from_pretrained("
                                  "controlnet=...) or Engine(controlnet=...))")
-            if isinstance(control_image, (list, tuple)):  # multi-ControlNet
-                control = [load_control_image(c, height, width)
-                           for c in control_image]
-            else:
-                control = load_control_image(control_image, height, width)
+            srcs = (list(control_image)
+                    if isinstance(control_image, (list, tuple))
+                    else [control_image])
+            control = [load_control_source(c, height, width) for c in srcs]
+            for c in control:
+                if c.shape[0] not in (1, num_interpolation_steps):
+                    raise ValueError(
+                        f"control sequence has {c.shape[0]} frames; the "
+                        f"clip has {num_interpolation_steps}")
         save_path = Path(save_path)
         save_path.mkdir(parents=True, exist_ok=True)
 
@@ -401,7 +430,13 @@ class StableDiffusionWalkPipeline:
                         batch_idx),
                     output_dtype="uint8",
                     pooled=pooled, uncond_pooled=uncond_pooled,
-                    control=control, control_scale=controlnet_scale)
+                    control=(None if control is None else [
+                        # per-frame sequences track the absolute frame
+                        # index; single maps broadcast over the batch
+                        c if c.shape[0] == 1
+                        else c[frame_index:frame_index + len(noise)]
+                        for c in control]),
+                    control_scale=controlnet_scale)
             # overlap: save the previous batch while this one computes
             if pending is not None:
                 drain(pending)

@@ -343,3 +343,55 @@ def test_multi_controlnet_and_guess_mode():
                                  control=c1, guess_mode=True,
                                  control_scale=0.0)
     np.testing.assert_allclose(guess0, plain, atol=1e-5)
+
+
+def test_per_frame_control_sequence(tmp_path):
+    """A directory of per-frame maps (control video) animates the structure:
+    every frame gets its own map; wrong length fails fast."""
+    from PIL import Image
+    from stable_diffusion_videos_tpu.pipeline import \
+        StableDiffusionWalkPipeline
+
+    bundle = ControlNetBundle.tiny(perturb=True)
+    pipe = StableDiffusionWalkPipeline(SDModels.tiny(), scheduler="ddim",
+                                       controlnet=bundle)
+    size = pipe.models.default_size
+    seq_dir = tmp_path / "poseseq"
+    seq_dir.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray((rs.rand(size, size, 3) * 255).astype(np.uint8)
+                        ).save(seq_dir / f"{i:03d}.png")
+
+    pipe.walk(prompts=["a", "b"], seeds=[1, 2], num_interpolation_steps=3,
+              output_dir=str(tmp_path), name="seq", num_inference_steps=2,
+              control_image=str(seq_dir), batch_size=2, make_video=False)
+    frames = sorted((tmp_path / "seq" / "seq_000000").glob("frame*.png"))
+    assert len(frames) == 3
+
+    with pytest.raises(ValueError, match="control sequence"):
+        pipe.walk(prompts=["a", "b"], seeds=[1, 2],
+                  num_interpolation_steps=5, output_dir=str(tmp_path),
+                  name="seq2", num_inference_steps=2,
+                  control_image=str(seq_dir))
+
+
+def test_control_sequence_varies_frames(tmp_path):
+    """With identical embeds/noise per frame, a varying control sequence
+    must produce varying frames (proves per-frame maps reach the engine)."""
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    models = SDModels.tiny()
+    bundle = ControlNetBundle.tiny(perturb=True)
+    eng = Engine(models, scheduler="ddim", controlnet=bundle)
+    cond = eng.embed_text(["same", "same"])
+    noise0 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    noise = jnp.concatenate([noise0, noise0])  # identical frames
+    size = models.default_size
+    seq = jax.random.uniform(jax.random.PRNGKey(1), (2, size, size, 3))
+    out = eng.denoise_frames(cond, eng.embed_text(""), noise,
+                             num_inference_steps=2, control=seq)
+    assert float(np.abs(out[0] - out[1]).max()) > 1e-5
+    same = eng.denoise_frames(cond, eng.embed_text(""), noise,
+                              num_inference_steps=2,
+                              control=jnp.broadcast_to(seq[:1], seq.shape))
+    np.testing.assert_allclose(same[0], same[1], atol=1e-5)
