@@ -47,6 +47,13 @@ def _add_common(ap):
                     help="std-rescaled CFG weight in [0,1] (Lin et al. "
                          "2024; 0.7 for zero-terminal-SNR v-prediction "
                          "checkpoints, 0 = plain CFG)")
+    ap.add_argument("--guidance-interval", nargs=2, type=float,
+                    default=None, metavar=("LO", "HI"),
+                    help="limited-interval CFG (Kynkäänniemi et al. 2024): "
+                         "run the guidance pair only for the [LO, HI) "
+                         "fraction of steps; cond-only elsewhere (halves "
+                         "the UNet batch outside the interval — real "
+                         "speedup, e.g. 0.0 0.6)")
     ap.add_argument("--step-cache", type=int, default=None, metavar="K",
                     help="DeepCache acceleration: recompute the deep UNet "
                          "trunk every K steps (approximate; ~1.4-1.7x at "
@@ -85,6 +92,9 @@ def _pipeline(args):
               step_cache=getattr(args, "step_cache", None),
               guidance_rescale=getattr(args, "guidance_rescale", 0.0),
               prompt_weighting=getattr(args, "prompt_weighting", False))
+    gi = getattr(args, "guidance_interval", None)
+    if gi is not None:
+        kw["guidance_interval"] = tuple(gi)
     lora = getattr(args, "lora", None)
     if lora:
         from .models.lora_file import parse_lora_arg

@@ -97,6 +97,7 @@ class StableDiffusionWalkPipeline:
                  step_cache: Optional[int] = None,
                  step_cache_split: int = 1,
                  guidance_rescale: float = 0.0,
+                 guidance_interval=None,
                  prompt_weighting: bool = False,
                  controlnet=None, freeu=None):
         if freeu:
@@ -117,6 +118,7 @@ class StableDiffusionWalkPipeline:
                              step_cache=step_cache,
                              step_cache_split=step_cache_split,
                              guidance_rescale=guidance_rescale,
+                             guidance_interval=guidance_interval,
                              controlnet=controlnet)
         #: opt-in A1111/compel emphasis syntax + >77-token prompt chunking
         #: (core/prompt_weighting.py); off by default so literal parentheses

@@ -70,6 +70,7 @@ class Engine:
                  step_cache: Optional[int] = None,
                  step_cache_split: int = 1,
                  guidance_rescale: float = 0.0,
+                 guidance_interval: Optional[tuple] = None,
                  controlnet=None):
         self.models = models
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -114,6 +115,26 @@ class Engine:
         if not 0.0 <= guidance_rescale <= 1.0:
             raise ValueError("guidance_rescale must be in [0, 1]")
         self.guidance_rescale = float(guidance_rescale)
+        #: limited-interval CFG (Kynkäänniemi et al. 2024, "Applying
+        #: Guidance in a Limited Interval..."): run the CFG pair only for
+        #: loop steps with fraction in [lo, hi); outside the interval ONLY
+        #: the conditional branch runs — a real FLOP cut (the UNet batch
+        #: halves), not an approximation of the combine.  The scan splits
+        #: into up to three statically-shaped segments so XLA keeps one
+        #: fused program.  (0, 1) or None = plain CFG everywhere.
+        if guidance_interval is not None:
+            lo, hi = (float(guidance_interval[0]),
+                      float(guidance_interval[1]))
+            if not 0.0 <= lo <= hi <= 1.0:
+                raise ValueError("guidance_interval must satisfy "
+                                 "0 <= lo <= hi <= 1")
+            if step_cache is not None:
+                raise ValueError(
+                    "guidance_interval cannot combine with step_cache: the "
+                    "cached trunk's batch (2B CFG rows) does not match the "
+                    "cond-only segments' (B rows)")
+            guidance_interval = (lo, hi) if (lo, hi) != (0.0, 1.0) else None
+        self.guidance_interval = guidance_interval
         #: sequence/spatial parallelism (SURVEY.md §5.7 stretch): constrain
         #: the latent's W axis onto the mesh `model` axis — XLA SPMD
         #: partitions the convs with halo exchanges and the attention with
@@ -292,6 +313,16 @@ class Engine:
                     **kwargs))
             return self._tables_cache[key]
 
+    def _interval_segments(self, n_loop: int):
+        """[(start, stop, cfg_on)] static loop segments implementing
+        ``guidance_interval`` — CFG only where loop-fraction ∈ [lo, hi)."""
+        if self.guidance_interval is None:
+            return [(0, n_loop, True)]
+        lo, hi = self.guidance_interval
+        i0, i1 = int(round(lo * n_loop)), int(round(hi * n_loop))
+        segs = [(0, i0, False), (i0, i1, True), (i1, n_loop, False)]
+        return [(a, b, c) for a, b, c in segs if b > a]
+
     def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int,
                out_u8: bool = False, with_ctrl: bool = False,
                guess_mode: bool = False):
@@ -316,17 +347,28 @@ class Engine:
                              "shallow cached pass has no deep skips to "
                              "inject residuals into")
 
-        def body(params, context, added, ctrl, guidance, tables, carry, i):
+        def body(params, context, added, ctrl, guidance, tables, carry, i,
+                 cfg=True):
+            # ``cfg`` is STATIC: False compiles a cond-only step (half the
+            # UNet batch) for loop segments outside self.guidance_interval
             if cache_k:
                 lat, st, deep = carry
             else:
                 lat, st = carry
             t = sched.timestep(tables, i)
             inp = sched.scale_model_input(tables, st, i, lat)
-            inp2 = jnp.concatenate([inp, inp], axis=0)  # CFG 2x batch
+            if cfg:
+                inp2 = jnp.concatenate([inp, inp], axis=0)  # CFG 2x batch
+                ctx = context
+            else:
+                inp2 = inp
+                ctx = context[context.shape[0] // 2:]  # cond rows only
             if spatial is not None:
                 inp2 = jax.lax.with_sharding_constraint(inp2, spatial)
             tb = jnp.broadcast_to(t, (inp2.shape[0],))
+
+            def cond_rows(x):
+                return x if cfg else x[x.shape[0] // 2:]
 
             ctrl_kw = {}
             if ctrl_mods is not None:
@@ -340,10 +382,12 @@ class Engine:
                 for mod, p, (cmap, cscale) in zip(ctrl_mods,
                                                   params["controlnet"],
                                                   ctrl):
-                    xl_kw = (dict(text_embeds=added[0], time_ids=added[1])
+                    xl_kw = (dict(text_embeds=cond_rows(added[0]),
+                                  time_ids=cond_rows(added[1]))
                              if is_xl and mod.config.addition_embed_dim
                              is not None else {})
-                    down_r, mid_r = mod.apply(p, inp2, tb, context, cmap,
+                    down_r, mid_r = mod.apply(p, inp2, tb, ctx,
+                                              cond_rows(cmap),
                                               conditioning_scale=cscale,
                                               **xl_kw)
                     if down_sum is None:
@@ -351,7 +395,7 @@ class Engine:
                     else:
                         down_sum = [a + b for a, b in zip(down_sum, down_r)]
                         mid_sum = mid_sum + mid_r
-                if guess_mode:
+                if guess_mode and cfg:
                     half = inp2.shape[0] // 2
                     keep = jnp.concatenate([
                         jnp.zeros((half,), self.models.dtype),
@@ -362,8 +406,9 @@ class Engine:
                 ctrl_kw = dict(ctrl_down=tuple(down_sum), ctrl_mid=mid_sum)
 
             def call_unet(deep_feat):
-                args = (added[0], added[1]) if is_xl else ()
-                return unet.apply(params["unet"], inp2, tb, context, *args,
+                args = ((cond_rows(added[0]), cond_rows(added[1]))
+                        if is_xl else ())
+                return unet.apply(params["unet"], inp2, tb, ctx, *args,
                                   cache_split=cache_split,
                                   deep_feature=deep_feat, **ctrl_kw)
 
@@ -375,9 +420,10 @@ class Engine:
                     lambda _: call_unet(deep), None)
             else:
                 eps = call_unet(None)
-            eps_u, eps_c = jnp.split(eps, 2, axis=0)
-            eps = apply_guidance(eps_u, eps_c, guidance,
-                                 self.guidance_rescale)
+            if cfg:
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = apply_guidance(eps_u, eps_c, guidance,
+                                     self.guidance_rescale)
             st, lat = sched.step(tables, st, i, eps, lat)
             return (lat, st, deep) if cache_k else (lat, st)
 
@@ -410,11 +456,13 @@ class Engine:
                      ucfg.block_out_channels[cache_split]),
                     self.models.dtype)
                 carry = (lat, state, deep0)
-            carry, _ = jax.lax.scan(
-                lambda c, i: (body(params, context, added, ctrl, guidance,
-                                   tables, c, i),
-                              None),
-                carry, jnp.arange(n_loop))
+            for a, b, cfg_on in self._interval_segments(n_loop):
+                carry, _ = jax.lax.scan(
+                    lambda c, i, _cfg=cfg_on: (
+                        body(params, context, added, ctrl, guidance,
+                             tables, c, i, cfg=_cfg),
+                        None),
+                    carry, jnp.arange(a, b))
             lat = carry[0]
             if tiled_vae:
                 return lat  # host drives tiled decode (decode_latents_tiled)
@@ -423,7 +471,9 @@ class Engine:
         if self.debug:
             # per-step python loop: each step is its own dispatch and the
             # intermediate latents are observable via self.debug_latents
-            step_fn = jax.jit(body)
+            import functools
+            step_fns = {on: jax.jit(functools.partial(body, cfg=on))
+                        for on in (True, False)}
             decode_fn = jax.jit(decode)
 
             def debug_program(params, context, added, ctrl, latents,
@@ -431,11 +481,13 @@ class Engine:
                 lat = latents * sched.init_noise_sigma(tables)
                 state = sched.init_state(tables, latents.shape, key=key)
                 self.debug_latents = []
-                for i in range(sched.num_loop_steps(tables)):
-                    lat, state = step_fn(params, context, added, ctrl,
-                                         guidance, tables, (lat, state),
-                                         jnp.int32(i))
-                    self.debug_latents.append(lat)
+                for a, b, cfg_on in self._interval_segments(
+                        sched.num_loop_steps(tables)):
+                    for i in range(a, b):
+                        lat, state = step_fns[cfg_on](
+                            params, context, added, ctrl, guidance, tables,
+                            (lat, state), jnp.int32(i))
+                        self.debug_latents.append(lat)
                 return decode_fn(params, lat)
 
             return debug_program
