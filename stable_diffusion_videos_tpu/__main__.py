@@ -168,6 +168,25 @@ def cmd_walk(args):
     print(video)
 
 
+def cmd_vid2vid(args):
+    cv = getattr(args, "control_video", None)
+    if cv and not getattr(args, "controlnet", None):
+        print("--control-video requires --controlnet", file=sys.stderr)
+        raise SystemExit(2)
+    pipe = _pipeline(args)
+    out = pipe.vid2vid(
+        args.video, args.prompt, strength=args.strength,
+        num_inference_steps=args.steps, guidance_scale=args.guidance_scale,
+        negative_prompt=args.negative_prompt, seed=args.seed,
+        height=args.height, width=args.width, fps=args.fps,
+        batch_size=args.batch_size, frame_skip=args.frame_skip,
+        max_frames=args.max_frames, output_filepath=args.output,
+        audio_filepath=args.audio, control_video=cv,
+        controlnet_scale=_ctrl_scale(args),
+        shared_noise=not args.per_frame_noise)
+    print(out)
+
+
 def cmd_images(args):
     from .pipeline import generate_images
     pipe = _pipeline(args)
@@ -267,6 +286,29 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--margin", type=float, default=1.0)
     w.add_argument("--smooth", type=float, default=0.0)
     w.set_defaults(fn=cmd_walk)
+
+    vv = sub.add_parser("vid2vid", help="restyle a video with img2img "
+                                        "(temporally frozen noise)")
+    _add_common(vv)
+    vv.add_argument("--video", required=True,
+                    help="input video file / frame directory")
+    vv.add_argument("--prompt", required=True)
+    vv.add_argument("--strength", type=float, default=0.5)
+    vv.add_argument("--seed", type=int, default=0)
+    vv.add_argument("--fps", type=float, default=None,
+                    help="output fps (default: source fps)")
+    vv.add_argument("--frame-skip", type=int, default=1)
+    vv.add_argument("--max-frames", type=int, default=None)
+    vv.add_argument("--output", default="vid2vid.mp4")
+    vv.add_argument("--audio", default=None,
+                    help="audio file to mux into the output")
+    vv.add_argument("--control-video", default=None,
+                    help="per-frame ControlNet maps: video file or dir "
+                         "(requires --controlnet)")
+    vv.add_argument("--per-frame-noise", action="store_true",
+                    help="fresh re-noising sample per frame (flickery; "
+                         "default is one shared sample for the whole video)")
+    vv.set_defaults(fn=cmd_vid2vid)
 
     im = sub.add_parser("images", help="batch image generation")
     _add_common(im)

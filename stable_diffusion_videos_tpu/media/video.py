@@ -175,3 +175,166 @@ def make_video(frames_or_frame_dir, audio_filepath=None, fps: int = 30,
 # reference-compatible alias (the reference exports this exact name,
 # __init__.py:109)
 make_video_pyav = make_video
+
+
+# ---------------------------------------------------------------------------
+# video DECODE — input side for vid2vid (beyond the reference's scope; it
+# only ever writes video).  Decode ladder mirrors the encode ladder above:
+# OpenCV -> ffmpeg rawvideo pipe -> pure-Python reader for our own
+# native MJPEG/AVI container (native/sdv_media.cpp writes '00dc' JPEG
+# chunks inside a RIFF 'movi' list — PIL decodes those directly).
+# ---------------------------------------------------------------------------
+
+def _iter_riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF range."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _read_native_avi(path):
+    """Decode our native sink's MJPEG/AVI ('00dc' JPEG chunks) with PIL.
+
+    Returns (fps, iterator-of-uint8-RGB-frames).  Only supports the subset
+    our own muxer writes; foreign AVIs should go through cv2/ffmpeg."""
+    import io
+    from PIL import Image
+    buf = Path(path).read_bytes()
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError(f"{path} is not a RIFF/AVI file")
+    fps = 30.0
+    frames = []
+
+    def walk(start, end):
+        nonlocal fps
+        for fourcc, p, size in _iter_riff_chunks(buf, start, end):
+            if fourcc == b"LIST":
+                walk(p + 4, p + size)
+            elif fourcc == b"avih" and size >= 4:
+                usec = int.from_bytes(buf[p:p + 4], "little")
+                if usec:
+                    fps = 1e6 / usec
+            elif fourcc == b"00dc":
+                frames.append((p, size))
+
+    walk(12, len(buf))
+
+    def gen():
+        for p, size in frames:
+            img = Image.open(io.BytesIO(buf[p:p + size]))
+            yield np.asarray(img.convert("RGB"))
+
+    return fps, gen()
+
+
+def probe_video(path) -> dict:
+    """{'fps', 'n_frames', 'width', 'height'} for a video file.
+
+    n_frames may be 0 when the container does not carry a count."""
+    path = str(path)
+    try:
+        import cv2
+        cap = cv2.VideoCapture(path)
+        if cap.isOpened():
+            info = dict(fps=float(cap.get(cv2.CAP_PROP_FPS)) or 30.0,
+                        n_frames=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+                        width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                        height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+            cap.release()
+            if info["width"] > 0:
+                return info
+    except ImportError:
+        pass
+    fps, gen = _read_native_avi(path)
+    first = next(iter(gen), None)
+    n = 1 if first is not None else 0
+    for _ in gen:
+        n += 1
+    h, w = (first.shape[:2] if first is not None else (0, 0))
+    return dict(fps=fps, n_frames=n, width=w, height=h)
+
+
+def read_video_frames(path, size=None, frame_skip: int = 1,
+                      max_frames: Optional[int] = None):
+    """Yield uint8 RGB (H, W, 3) frames from a video file.
+
+    size: optional (height, width) to bilinear-resize each frame to.
+    frame_skip: keep every k-th frame.  max_frames: stop after N yielded.
+
+    Decode ladder: cv2.VideoCapture -> ffmpeg rawvideo pipe -> the
+    pure-Python reader for our native MJPEG/AVI container."""
+    path = str(path)
+    if not Path(path).exists():
+        raise FileNotFoundError(path)
+
+    def _resize(frame):
+        if size is None or frame.shape[:2] == tuple(size):
+            return frame
+        from PIL import Image
+        return np.asarray(Image.fromarray(frame).resize(
+            (size[1], size[0]), Image.BILINEAR))
+
+    def _emit(source):
+        yielded = 0
+        for i, frame in enumerate(source):
+            if i % frame_skip:
+                continue
+            yield _resize(frame)
+            yielded += 1
+            if max_frames is not None and yielded >= max_frames:
+                return
+
+    try:
+        import cv2
+        cap = cv2.VideoCapture(path)
+        if cap.isOpened():
+            def cv2_source():
+                try:
+                    while True:
+                        ok, bgr = cap.read()
+                        if not ok:
+                            return
+                        yield np.ascontiguousarray(bgr[..., ::-1])
+                finally:
+                    cap.release()
+            probe = cv2.VideoCapture(path)
+            ok = probe.isOpened() and probe.read()[0]
+            probe.release()
+            if ok:
+                yield from _emit(cv2_source())
+                return
+        cap.release()
+    except ImportError:
+        pass
+
+    ffmpeg = _find_ffmpeg()
+    if ffmpeg:
+        # no ffprobe dependency: ask for rgb24 at the native size by probing
+        # the first frame dimensions from the native reader is impossible for
+        # foreign containers, so let ffmpeg scale to an even size it reports.
+        info = probe_video(path)
+        w, h = info["width"], info["height"]
+        if w and h:
+            cmd = [ffmpeg, "-loglevel", "error", "-i", path,
+                   "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+            proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+
+            def ffmpeg_source():
+                nbytes = w * h * 3
+                try:
+                    while True:
+                        raw = proc.stdout.read(nbytes)
+                        if len(raw) < nbytes:
+                            return
+                        yield np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+                finally:
+                    proc.stdout.close()
+                    proc.wait()
+            yield from _emit(ffmpeg_source())
+            return
+
+    _, gen = _read_native_avi(path)
+    yield from _emit(gen)

@@ -793,6 +793,186 @@ class StableDiffusionWalkPipeline:
             return self._postprocess(images)
         return images
 
+    def vid2vid(self, video, prompt: str, *, strength: float = 0.5,
+                num_inference_steps: int = 50, guidance_scale: float = 7.5,
+                negative_prompt: Optional[str] = None, seed: int = 0,
+                height: Optional[int] = None, width: Optional[int] = None,
+                fps: Optional[float] = None,
+                batch_size: Optional[int] = None,
+                frame_skip: int = 1, max_frames: Optional[int] = None,
+                output_filepath: str = "vid2vid.mp4",
+                audio_filepath: Optional[str] = None,
+                control_video=None, controlnet_scale: float = 1.0,
+                shared_noise: bool = True, output_type: str = "video"):
+        """Video-to-video restyling: re-noise every frame of an input video
+        partway (``strength``) and denoise it toward ``prompt`` — batched
+        img2img dispatches with a TEMPORALLY FROZEN re-noising sample
+        (``shared_noise``), so the stochastic field does not flicker
+        frame-to-frame (beyond the reference's scope; the natural video
+        extension of its walk, built from the same engine programs).
+
+        ``video``: a video file path (decoded via ``media.read_video_frames``
+        — cv2 / ffmpeg / our native MJPEG-AVI reader), a directory of frames,
+        or a (T, H, W, 3) array / list of frames.
+        ``control_video``: optional ControlNet conditioning per frame — a
+        video file, a directory of maps, one image, or an (N, H, W, 3)
+        array (requires ``Engine(controlnet=...)``); N == 1 locks one map
+        for all frames, otherwise map i conditions output frame i (clamped
+        to the last map when the control sequence is shorter).
+        ``output_type``: "video" (writes ``output_filepath``, returns its
+        path) or "frames" (returns a list of PIL images).
+        """
+        from ..media.video import (FrameWriter, iter_frames, probe_video,
+                                   read_video_frames)
+        if self.engine.scheduler_name not in ("ddim", "euler",
+                                              "euler_ancestral", "dpm",
+                                              "lcm"):
+            # fail BEFORE any decode work: img2img slices the schedule
+            # mid-way, which index-history samplers can't do (engine
+            # ``_sliced_tables``)
+            raise NotImplementedError(
+                f"vid2vid needs an img2img-capable sampler "
+                f"(ddim/euler/euler_ancestral/dpm/lcm), pipeline has "
+                f"{self.engine.scheduler_name!r}")
+        batch_size = batch_size or self.models.default_batch_size
+        f = self.models.vae_scale_factor
+        grain = f * 8  # keep every UNet level's spatial dims integral
+
+        def snap(n):
+            return max(grain, (int(n) // grain) * grain)
+
+        src_fps = None
+        if isinstance(video, (str, Path)) and Path(video).is_file():
+            src_fps = probe_video(video).get("fps") or None
+            if height is None or width is None:
+                info = probe_video(video)
+                height = height or snap(info["height"])
+                width = width or snap(info["width"])
+            frames = read_video_frames(video, size=(height, width),
+                                       frame_skip=frame_skip,
+                                       max_frames=max_frames)
+        else:
+            base = iter_frames(video) if not isinstance(video, list) \
+                else iter(video)
+
+            def prepared():
+                n = 0
+                for i, fr in enumerate(base):
+                    if i % frame_skip:
+                        continue
+                    if isinstance(fr, Image.Image):
+                        fr = np.asarray(fr.convert("RGB"))
+                    yield fr
+                    n += 1
+                    if max_frames is not None and n >= max_frames:
+                        return
+            frames = prepared()
+        fps = fps or src_fps or 30.0
+
+        ctrl_maps = None
+        if control_video is not None:
+            if (isinstance(control_video, (str, Path))
+                    and Path(control_video).is_file()):
+                # control sizing needs the target dims; video-file sources
+                # resolve them lazily below once the first frame arrives
+                ctrl_maps = ("video", control_video)
+            else:
+                if height is None or width is None:
+                    raise ValueError("pass height/width explicitly when "
+                                     "control_video is used with an "
+                                     "array/list video source")
+                ctrl_maps = load_control_source(control_video, height, width)
+
+        audio, sr = None, 22050
+        if audio_filepath:
+            from ..audio.analysis import load_audio
+            audio, sr = load_audio(audio_filepath, sr=sr)
+
+        cond = uncond = None
+        xl_kw = {}
+        noise = None
+        writer = None
+        out_frames: List[Image.Image] = []
+        frame_idx = 0
+
+        def flush(batch):
+            nonlocal cond, uncond, xl_kw, noise, writer, frame_idx
+            arr = np.stack(batch).astype(np.float32) / 255.0
+            B = arr.shape[0]
+            if cond is None:
+                cond, uncond = self._embed_cond_uncond(prompt,
+                                                       negative_prompt)
+            c = cond if B == 1 else jax.numpy.broadcast_to(
+                cond, (B,) + cond.shape[1:])
+            if self.models.is_xl:
+                xl_kw = self._xl_pooled_kwargs(prompt, negative_prompt, B)
+            latents = self.engine.encode_image(arr * 2.0 - 1.0)
+            if shared_noise and noise is None:
+                noise = self.init_noise(
+                    seed, (1,) + latents.shape[1:3]
+                    + (self.models.unet_config.in_channels,))
+            ctrl_kw = {}
+            if ctrl_maps is not None:
+                idx = np.minimum(np.arange(frame_idx, frame_idx + B),
+                                 len(ctrl_maps) - 1)
+                ctrl_kw = dict(control=ctrl_maps[idx],
+                               control_scale=controlnet_scale)
+            with self.timer.stage("denoise"):
+                images = self.engine.img2img(
+                    c, uncond, latents, strength=strength,
+                    num_inference_steps=num_inference_steps,
+                    guidance_scale=guidance_scale,
+                    key=jax.random.PRNGKey(int(seed) * 9973 + frame_idx),
+                    noise=noise, **xl_kw, **ctrl_kw)
+            self.timer.add_frames(len(images))
+            for img in self._postprocess(images):
+                if output_type == "frames":
+                    out_frames.append(img)
+                else:
+                    if writer is None:
+                        writer = FrameWriter(output_filepath, fps=int(fps),
+                                             audio=audio, audio_sr=sr)
+                    writer.add_frame(np.asarray(img))
+            frame_idx += B
+
+        batch: List[np.ndarray] = []
+        first = True
+        for fr in frames:
+            if first:
+                if height is None or width is None:
+                    height = height or snap(fr.shape[0])
+                    width = width or snap(fr.shape[1])
+                if isinstance(ctrl_maps, tuple):
+                    # video-file control source: decode at the (now known)
+                    # target size, aligned with the output frame cadence
+                    ctrl_maps = np.stack([
+                        m.astype(np.float32) / 255.0
+                        for m in read_video_frames(
+                            ctrl_maps[1], size=(height, width),
+                            frame_skip=frame_skip, max_frames=max_frames)])
+            first = False
+            fr = np.asarray(fr)
+            if fr.dtype != np.uint8:
+                fr = (np.clip(fr, 0.0, 1.0) * 255).round().astype(np.uint8) \
+                    if fr.max() <= 1.5 else fr.astype(np.uint8)
+            if fr.shape[2] != 3:
+                fr = fr[..., :3]
+            if fr.shape[:2] != (height, width):
+                fr = np.asarray(Image.fromarray(
+                    np.ascontiguousarray(fr)).resize((width, height),
+                                                     Image.BILINEAR))
+            batch.append(fr)
+            if len(batch) == batch_size:
+                flush(batch)
+                batch = []
+        if batch:
+            flush(batch)
+        if frame_idx == 0:
+            raise ValueError("video source yielded no frames")
+        if output_type == "frames":
+            return out_frames
+        return writer.close()
+
     # ------------------------------------------------------------------
     def _ensure_upsampler(self, weights: Optional[str] = None):
         """Provision the Real-ESRGAN upsampler BEFORE frame generation

@@ -824,10 +824,16 @@ class Engine:
                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
                 eta: float = 0.0, key=None, pooled=None,
                 uncond_pooled=None, control=None,
-                control_scale=1.0, guess_mode: bool = False) -> np.ndarray:
+                control_scale=1.0, guess_mode: bool = False,
+                noise=None) -> np.ndarray:
         """Denoise from a noised version of ``init_latents`` (scaled VAE
         means, (B, h, w, 4)): ``strength`` in (0, 1] controls how much of the
-        schedule runs (1.0 == full txt2img from noise)."""
+        schedule runs (1.0 == full txt2img from noise).
+
+        ``noise``: optional (1-or-B, h, w, 4) re-noising sample.  vid2vid
+        passes ONE shared sample for every frame of a video so the noise
+        field is temporally frozen — the dominant cheap lever for frame
+        coherence in diffusion video stylisation."""
         if not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")
         tables = self._tables(num_inference_steps, eta)
@@ -838,7 +844,13 @@ class Engine:
         if key is None:
             key = jax.random.PRNGKey(0)
         key, knoise = jax.random.split(key)
-        noise = jax.random.normal(knoise, init_latents.shape, jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(knoise, init_latents.shape,
+                                      jnp.float32)
+        else:
+            noise = jnp.broadcast_to(
+                jnp.asarray(noise, jnp.float32),
+                init_latents.shape)
         lat = jnp.asarray(init_latents, jnp.float32)
         if self.scheduler_name in ("euler", "euler_ancestral"):
             sigma0 = sliced["sigmas"][0]
