@@ -170,8 +170,10 @@ def cmd_walk(args):
 
 def cmd_vid2vid(args):
     cv = getattr(args, "control_video", None)
-    if cv and not getattr(args, "controlnet", None):
-        print("--control-video requires --controlnet", file=sys.stderr)
+    cfs = getattr(args, "control_from_source", None)
+    if (cv or cfs) and not getattr(args, "controlnet", None):
+        print("--control-video/--control-from-source require --controlnet",
+              file=sys.stderr)
         raise SystemExit(2)
     pipe = _pipeline(args)
     out = pipe.vid2vid(
@@ -183,6 +185,8 @@ def cmd_vid2vid(args):
         max_frames=args.max_frames, output_filepath=args.output,
         audio_filepath=args.audio, control_video=cv,
         controlnet_scale=_ctrl_scale(args),
+        control_from_source=cfs,
+        canny_thresholds=tuple(args.canny_thresholds),
         shared_noise=not args.per_frame_noise)
     print(out)
 
@@ -305,6 +309,12 @@ def build_parser() -> argparse.ArgumentParser:
     vv.add_argument("--control-video", default=None,
                     help="per-frame ControlNet maps: video file or dir "
                          "(requires --controlnet)")
+    vv.add_argument("--control-from-source", default=None,
+                    choices=["canny", "identity"],
+                    help="derive ControlNet maps from the source frames "
+                         "on the fly (requires --controlnet)")
+    vv.add_argument("--canny-thresholds", nargs=2, type=int,
+                    default=[100, 200], metavar=("LO", "HI"))
     vv.add_argument("--per-frame-noise", action="store_true",
                     help="fresh re-noising sample per frame (flickery; "
                          "default is one shared sample for the whole video)")

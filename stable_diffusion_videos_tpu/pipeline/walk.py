@@ -803,6 +803,8 @@ class StableDiffusionWalkPipeline:
                 output_filepath: str = "vid2vid.mp4",
                 audio_filepath: Optional[str] = None,
                 control_video=None, controlnet_scale: float = 1.0,
+                control_from_source: Optional[str] = None,
+                canny_thresholds=(100, 200),
                 shared_noise: bool = True, output_type: str = "video"):
         """Video-to-video restyling: re-noise every frame of an input video
         partway (``strength``) and denoise it toward ``prompt`` — batched
@@ -819,6 +821,10 @@ class StableDiffusionWalkPipeline:
         array (requires ``Engine(controlnet=...)``); N == 1 locks one map
         for all frames, otherwise map i conditions output frame i (clamped
         to the last map when the control sequence is shorter).
+        ``control_from_source``: derive the ControlNet map from each SOURCE
+        frame on the fly — "canny" (cv2 edges, ``canny_thresholds``) or
+        "identity" (the frame itself, for tile/ip2p-style nets); no
+        offline preprocessing pass needed.
         ``output_type``: "video" (writes ``output_filepath``, returns its
         path) or "frames" (returns a list of PIL images).
         """
@@ -842,12 +848,24 @@ class StableDiffusionWalkPipeline:
             return max(grain, (int(n) // grain) * grain)
 
         src_fps = None
+        frames_total = None
         if isinstance(video, (str, Path)) and Path(video).is_file():
-            src_fps = probe_video(video).get("fps") or None
+            info = probe_video(video)
+            src_fps = info.get("fps") or None
+            if info.get("n_frames"):
+                frames_total = -(-info["n_frames"] // frame_skip)
+                if max_frames is not None:
+                    frames_total = min(frames_total, max_frames)
             if height is None or width is None:
-                info = probe_video(video)
                 height = height or snap(info["height"])
                 width = width or snap(info["width"])
+        elif hasattr(video, "__len__"):
+            frames_total = -(-len(video) // frame_skip)
+            if max_frames is not None:
+                frames_total = min(frames_total, max_frames)
+        self._progress = {"clip": 0, "clips_total": 1, "frames_done": 0,
+                          "frames_total": frames_total}
+        if isinstance(video, (str, Path)) and Path(video).is_file():
             frames = read_video_frames(video, size=(height, width),
                                        frame_skip=frame_skip,
                                        max_frames=max_frames)
@@ -868,6 +886,23 @@ class StableDiffusionWalkPipeline:
                         return
             frames = prepared()
         fps = fps or src_fps or 30.0
+
+        if control_from_source is not None:
+            if control_video is not None:
+                raise ValueError("control_video and control_from_source "
+                                 "are mutually exclusive")
+            if control_from_source not in ("canny", "identity"):
+                raise ValueError(f"control_from_source must be 'canny' or "
+                                 f"'identity', got {control_from_source!r}")
+
+        def source_map(fr_u8: np.ndarray) -> np.ndarray:
+            if control_from_source == "canny":
+                import cv2
+                lo, hi = canny_thresholds
+                edges = cv2.Canny(fr_u8, int(lo), int(hi))
+                return np.repeat(edges[..., None], 3,
+                                 axis=2).astype(np.float32) / 255.0
+            return fr_u8.astype(np.float32) / 255.0
 
         ctrl_maps = None
         if control_video is not None:
@@ -912,7 +947,11 @@ class StableDiffusionWalkPipeline:
                     seed, (1,) + latents.shape[1:3]
                     + (self.models.unet_config.in_channels,))
             ctrl_kw = {}
-            if ctrl_maps is not None:
+            if control_from_source is not None:
+                ctrl_kw = dict(control=np.stack([source_map(f)
+                                                 for f in batch]),
+                               control_scale=controlnet_scale)
+            elif ctrl_maps is not None:
                 idx = np.minimum(np.arange(frame_idx, frame_idx + B),
                                  len(ctrl_maps) - 1)
                 ctrl_kw = dict(control=ctrl_maps[idx],
@@ -934,39 +973,53 @@ class StableDiffusionWalkPipeline:
                                              audio=audio, audio_sr=sr)
                     writer.add_frame(np.asarray(img))
             frame_idx += B
+            self._advance_progress(B)
 
         batch: List[np.ndarray] = []
         first = True
-        for fr in frames:
-            if first:
-                if height is None or width is None:
-                    height = height or snap(fr.shape[0])
-                    width = width or snap(fr.shape[1])
-                if isinstance(ctrl_maps, tuple):
-                    # video-file control source: decode at the (now known)
-                    # target size, aligned with the output frame cadence
-                    ctrl_maps = np.stack([
-                        m.astype(np.float32) / 255.0
-                        for m in read_video_frames(
-                            ctrl_maps[1], size=(height, width),
-                            frame_skip=frame_skip, max_frames=max_frames)])
-            first = False
-            fr = np.asarray(fr)
-            if fr.dtype != np.uint8:
-                fr = (np.clip(fr, 0.0, 1.0) * 255).round().astype(np.uint8) \
-                    if fr.max() <= 1.5 else fr.astype(np.uint8)
-            if fr.shape[2] != 3:
-                fr = fr[..., :3]
-            if fr.shape[:2] != (height, width):
-                fr = np.asarray(Image.fromarray(
-                    np.ascontiguousarray(fr)).resize((width, height),
-                                                     Image.BILINEAR))
-            batch.append(fr)
-            if len(batch) == batch_size:
+        try:
+            for fr in frames:
+                if first:
+                    if height is None or width is None:
+                        height = height or snap(fr.shape[0])
+                        width = width or snap(fr.shape[1])
+                    if isinstance(ctrl_maps, tuple):
+                        # video-file control source: decode at the (now
+                        # known) target size, aligned with the output cadence
+                        ctrl_maps = np.stack([
+                            m.astype(np.float32) / 255.0
+                            for m in read_video_frames(
+                                ctrl_maps[1], size=(height, width),
+                                frame_skip=frame_skip,
+                                max_frames=max_frames)])
+                first = False
+                fr = np.asarray(fr)
+                if fr.dtype != np.uint8:
+                    fr = ((np.clip(fr, 0.0, 1.0) * 255).round()
+                          .astype(np.uint8)
+                          if fr.max() <= 1.5 else fr.astype(np.uint8))
+                if fr.shape[2] != 3:
+                    fr = fr[..., :3]
+                if fr.shape[:2] != (height, width):
+                    fr = np.asarray(Image.fromarray(
+                        np.ascontiguousarray(fr)).resize((width, height),
+                                                         Image.BILINEAR))
+                batch.append(fr)
+                if len(batch) == batch_size:
+                    flush(batch)
+                    batch = []
+            if batch:
                 flush(batch)
-                batch = []
-        if batch:
-            flush(batch)
+        except BaseException:
+            # abort (incl. server-side job cancellation): don't leak the
+            # encoder process and don't leave a half-written container
+            if writer is not None:
+                try:
+                    writer.close()
+                except Exception:
+                    pass
+                Path(writer.output_filepath).unlink(missing_ok=True)
+            raise
         if frame_idx == 0:
             raise ValueError("video source yielded no frames")
         if output_type == "frames":

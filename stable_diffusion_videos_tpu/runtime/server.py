@@ -11,6 +11,10 @@ Endpoints:
     body: {prompt | prompts, negative_prompt?, seed?, num_inference_steps?,
            guidance_scale?, height?, width?, count?}
 * ``POST /walk``              -> {job_id}   (async; body = walk() kwargs)
+* ``POST /vid2vid``           -> {job_id}   (async video restyling;
+    body: {video (base64) | video_path (relative), prompt, strength?,
+           name?, fps?, frame_skip?, max_frames?, ... see VID2VID_KWARGS})
+* ``POST /img2img`` / ``POST /inpaint`` -> {images: [base64 PNG]}
 * ``GET  /jobs/<id>``         -> {status: queued|running|cancelling|
                                   cancelled|done|error, progress?: {clip,
                                   clips_total, frames_done, frames_total},
@@ -300,6 +304,94 @@ class Server:
         holder["id"] = self.jobs.submit(run)
         return {"job_id": holder["id"]}
 
+    #: /vid2vid body allowlist (mirrors WALK_KWARGS discipline).  The video
+    #: arrives as base64 bytes ('video') or as a path relative to the
+    #: output root ('video_path'); 'name' is the output file stem.
+    VID2VID_KWARGS = frozenset({
+        "video", "video_path", "video_format", "prompt", "strength",
+        "num_inference_steps", "guidance_scale", "negative_prompt", "seed",
+        "height", "width", "fps", "batch_size", "frame_skip", "max_frames",
+        "name", "audio_filepath", "per_frame_noise",
+    })
+    #: frame ceiling per job — an unauthenticated caller must not submit a
+    #: 2-hour movie
+    MAX_VID_FRAMES = 2048
+
+    def _handle_vid2vid(self, body: dict):
+        import uuid
+        from pathlib import Path
+        unknown = sorted(set(body) - self.VID2VID_KWARGS)
+        if unknown:
+            raise ValueError(f"unknown vid2vid parameters: {unknown} "
+                             f"(allowed: {sorted(self.VID2VID_KWARGS)})")
+        if not body.get("prompt"):
+            raise ValueError("vid2vid requires 'prompt'")
+        if ("video" in body) == ("video_path" in body):
+            raise ValueError("vid2vid requires exactly one of 'video' "
+                             "(base64 bytes) or 'video_path' (relative to "
+                             "the server output root)")
+        self.output_root.mkdir(parents=True, exist_ok=True)
+        cleanup = None
+        if "video" in body:
+            fmt = str(body.get("video_format", "mp4")).lstrip(".")
+            if not fmt.isalnum():
+                raise ValueError(f"bad video_format {fmt!r}")
+            src = self.output_root / f".upload_{uuid.uuid4().hex}.{fmt}"
+            src.write_bytes(base64.b64decode(body["video"]))
+            cleanup = src
+        else:
+            p = Path(str(body["video_path"]))
+            if p.is_absolute():
+                raise ValueError("video_path must be relative (resolved "
+                                 "under the server's output root)")
+            src = Path(self._confine(str(p)))
+            if not src.is_file():
+                raise ValueError(f"video_path not found under output root")
+        name = Path(str(body.get("name") or
+                        f"vid2vid_{uuid.uuid4().hex[:8]}")).name
+        out = self.output_root / f"{name}.mp4"
+        max_frames = min(int(body.get("max_frames", self.MAX_VID_FRAMES)),
+                         self.MAX_VID_FRAMES)
+        kwargs = dict(
+            strength=float(body.get("strength", 0.5)),
+            num_inference_steps=self._steps(body),
+            guidance_scale=float(body.get("guidance_scale", 7.5)),
+            negative_prompt=body.get("negative_prompt"),
+            seed=int(body.get("seed", 0)),
+            height=self._side(body, "height"),
+            width=self._side(body, "width"),
+            fps=(float(body["fps"]) if body.get("fps") else None),
+            batch_size=(int(body["batch_size"])
+                        if body.get("batch_size") else None),
+            frame_skip=max(1, int(body.get("frame_skip", 1))),
+            max_frames=max_frames,
+            output_filepath=str(out),
+            audio_filepath=(self._confine(body["audio_filepath"])
+                            if body.get("audio_filepath") else None),
+            shared_noise=not bool(body.get("per_frame_noise", False)))
+        holder: dict = {}
+
+        def run():
+            def hook(p):
+                if "id" in holder:
+                    self.jobs.update(holder["id"], progress=p)
+                    if self.jobs.cancel_event(holder["id"]).is_set():
+                        raise JobCancelled(holder["id"])
+            with self.dispatch_lock:
+                self.pipeline.on_progress = hook
+                try:
+                    result = self.pipeline.vid2vid(
+                        str(src), body["prompt"], **kwargs)
+                finally:
+                    self.pipeline.on_progress = None
+                    if cleanup is not None:
+                        cleanup.unlink(missing_ok=True)
+            return {"video": result,
+                    "perf": self.pipeline.timer.summary()}
+
+        holder["id"] = self.jobs.submit(run)
+        return {"job_id": holder["id"]}
+
     # ------------------------------------------------------------------
     def make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
@@ -354,6 +446,9 @@ class Server:
                             200, server_self._handle_inpaint(body))
                     if self.path == "/walk":
                         return self._reply(202, server_self._handle_walk(body))
+                    if self.path == "/vid2vid":
+                        return self._reply(
+                            202, server_self._handle_vid2vid(body))
                 except (ValueError, TypeError, NotImplementedError) as e:
                     return self._reply(400, {"error": str(e)})
                 except Exception as e:

@@ -163,3 +163,144 @@ def test_vid2vid_cli(video_file, tmp_path, capsys):
     args.fn(args)
     printed = capsys.readouterr().out.strip()
     assert printed and list(read_video_frames(printed))
+
+
+# ---------------------------------------------------------------------------
+# ControlNet self-conditioning (control_from_source)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ctrl_pipeline():
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.models.controlnet import ControlNetBundle
+    from stable_diffusion_videos_tpu.pipeline import (
+        StableDiffusionWalkPipeline)
+    return StableDiffusionWalkPipeline(
+        SDModels.tiny(), scheduler="ddim",
+        controlnet=ControlNetBundle.tiny(perturb=True))
+
+
+def test_vid2vid_control_from_source_canny(ctrl_pipeline):
+    src = _gradient_frames(n=3, h=32, w=32)
+    out = ctrl_pipeline.vid2vid(src, "p", strength=0.5,
+                                num_inference_steps=2, batch_size=4,
+                                control_from_source="canny",
+                                output_type="frames")
+    assert len(out) == 3
+
+
+def test_vid2vid_control_from_source_steers(ctrl_pipeline):
+    """A perturbed ControlNet conditioned on the source frame must change
+    the output vs controlnet_scale=0 (plumbing actually reaches the UNet)."""
+    src = _gradient_frames(n=2, h=32, w=32)
+    kw = dict(strength=0.6, num_inference_steps=2, batch_size=2,
+              control_from_source="identity", output_type="frames")
+    on = ctrl_pipeline.vid2vid(src, "p", controlnet_scale=1.0, **kw)
+    off = ctrl_pipeline.vid2vid(src, "p", controlnet_scale=0.0, **kw)
+    diff = max(np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int)
+                      ).max() for a, b in zip(on, off))
+    assert diff > 0
+
+
+def test_vid2vid_control_args_mutually_exclusive(ctrl_pipeline):
+    src = _gradient_frames(n=1, h=32, w=32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ctrl_pipeline.vid2vid(src, "p", control_video=src[0],
+                              control_from_source="canny",
+                              output_type="frames")
+
+
+# ---------------------------------------------------------------------------
+# server /vid2vid
+# ---------------------------------------------------------------------------
+
+def _req(host, port, method, path, body=None):
+    import json
+    from http.client import HTTPConnection
+    conn = HTTPConnection(host, port, timeout=300)
+    data = json.dumps(body).encode() if body is not None else None
+    conn.request(method, path, body=data,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    return resp.status, payload
+
+
+@pytest.fixture(scope="module")
+def v2v_server(tmp_path_factory):
+    from stable_diffusion_videos_tpu.pipeline import (
+        StableDiffusionWalkPipeline)
+    from stable_diffusion_videos_tpu.runtime.server import Server
+    root = tmp_path_factory.mktemp("v2v_root")
+    server = Server(StableDiffusionWalkPipeline.tiny(scheduler="ddim"),
+                    output_root=str(root))
+    host, port = server.start(port=0)
+    yield host, port, server
+    server.shutdown()
+
+
+def _wait_job(host, port, job_id, timeout=240):
+    import time
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        _, job = _req(host, port, "GET", f"/jobs/{job_id}")
+        if job["status"] in ("done", "error", "cancelled"):
+            return job
+        time.sleep(0.5)
+    raise TimeoutError(job)
+
+
+def test_server_vid2vid_upload(v2v_server, tmp_path):
+    import base64
+    host, port, server = v2v_server
+    path = tmp_path / "up.mp4"
+    with FrameWriter(path, fps=6) as w:
+        for f in _gradient_frames(n=4, h=32, w=32):
+            w.add_frame(f)
+    raw = base64.b64encode(open(w.output_filepath, "rb").read()).decode()
+    status, body = _req(host, port, "POST", "/vid2vid", {
+        "video": raw, "prompt": "p", "strength": 0.5,
+        "num_inference_steps": 2, "batch_size": 4, "name": "styled"})
+    assert status == 202, body
+    job = _wait_job(host, port, body["job_id"])
+    assert job["status"] == "done", job
+    assert job["result"]["video"].startswith(str(server.output_root))
+    assert len(list(read_video_frames(job["result"]["video"]))) == 4
+    assert job["progress"]["frames_done"] == 4
+    # the uploaded temp file was cleaned up
+    assert not list(server.output_root.glob(".upload_*"))
+
+
+def test_server_vid2vid_validation(v2v_server):
+    host, port, _ = v2v_server
+    status, body = _req(host, port, "POST", "/vid2vid", {"prompt": "p"})
+    assert status == 400 and "video" in body["error"]
+    status, body = _req(host, port, "POST", "/vid2vid", {
+        "prompt": "p", "video_path": "/etc/passwd"})
+    assert status == 400 and "relative" in body["error"]
+    status, body = _req(host, port, "POST", "/vid2vid", {
+        "prompt": "p", "video_path": "../escape.mp4"})
+    assert status == 400
+    status, body = _req(host, port, "POST", "/vid2vid", {
+        "prompt": "p", "video_path": "x.mp4", "output_dir": "zzz"})
+    assert status == 400 and "unknown" in body["error"]
+    status, body = _req(host, port, "POST", "/vid2vid", {"video_path": "x"})
+    assert status == 400 and "prompt" in body["error"]
+
+
+def test_server_vid2vid_video_path(v2v_server):
+    host, port, server = v2v_server
+    sub = server.output_root / "in"
+    sub.mkdir(exist_ok=True)
+    with FrameWriter(sub / "src.mp4", fps=6) as w:
+        for f in _gradient_frames(n=3, h=32, w=32):
+            w.add_frame(f)
+    rel = str((sub / "src.mp4").relative_to(server.output_root))
+    status, body = _req(host, port, "POST", "/vid2vid", {
+        "video_path": rel, "prompt": "p", "num_inference_steps": 2,
+        "batch_size": 4, "name": "from_path"})
+    assert status == 202, body
+    job = _wait_job(host, port, body["job_id"])
+    assert job["status"] == "done", job
+    assert len(list(read_video_frames(job["result"]["video"]))) == 3
