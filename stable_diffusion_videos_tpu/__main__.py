@@ -38,6 +38,13 @@ def _add_common(ap):
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--negative-prompt", default=None)
+    ap.add_argument("--ip-adapter", default=None, metavar="CKPT[,ENCODER]",
+                    help="IP-Adapter checkpoint (optionally ',<CLIP image "
+                         "encoder dir>' for on-the-fly image embedding)")
+    ap.add_argument("--ip-image", default=None,
+                    help="image prompt (requires --ip-adapter with an "
+                         "encoder)")
+    ap.add_argument("--ip-scale", type=float, default=1.0)
     ap.add_argument("--prompt-weighting", action="store_true",
                     help="enable (emphasis:1.3) / [de-emphasis] prompt "
                          "syntax and >77-token prompt chunking (A1111 "
@@ -106,6 +113,12 @@ def _pipeline(args):
     cn = getattr(args, "controlnet", None)
     if cn:
         kw["controlnet"] = cn if len(cn) > 1 else cn[0]
+    ipa = getattr(args, "ip_adapter", None)
+    if ipa:
+        kw["ip_adapter"] = tuple(ipa.split(",", 1)) if "," in ipa else ipa
+    if getattr(args, "ip_image", None) and not ipa:
+        print("--ip-image requires --ip-adapter", file=sys.stderr)
+        raise SystemExit(2)
     fu = getattr(args, "freeu", None)
     if fu is not None:
         if len(fu) not in (0, 4):
@@ -164,7 +177,8 @@ def cmd_walk(args):
         margin=args.margin, smooth=args.smooth,
         negative_prompt=args.negative_prompt,
         control_image=_ctrl_image(args),
-        controlnet_scale=_ctrl_scale(args))
+        controlnet_scale=_ctrl_scale(args),
+        ip_image=args.ip_image, ip_scale=args.ip_scale)
     print(video)
 
 
@@ -187,6 +201,7 @@ def cmd_vid2vid(args):
         controlnet_scale=_ctrl_scale(args),
         control_from_source=cfs,
         canny_thresholds=tuple(args.canny_thresholds),
+        ip_image=args.ip_image, ip_scale=args.ip_scale,
         shared_noise=not args.per_frame_noise)
     print(out)
 

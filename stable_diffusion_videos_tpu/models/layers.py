@@ -184,7 +184,14 @@ class Upsample2D(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Multi-head attention; self-attention when ``context`` is None."""
+    """Multi-head attention; self-attention when ``context`` is None.
+
+    IP-Adapter (Ye et al. 2023) decoupled cross-attention: ``context`` may
+    be a ``(text_context, ip_context, ip_scale)`` tuple — image tokens get
+    their OWN key/value projections (``to_k_ip``/``to_v_ip``) and a separate
+    softmax, and the scaled image-attention output is summed with the text
+    attention before ``to_out`` (the published formulation; the reference
+    has no image prompting at all)."""
     num_heads: int
     head_dim: int
     out_dim: int
@@ -192,6 +199,9 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        ip_context = ip_scale = None
+        if isinstance(context, tuple):
+            context, ip_context, ip_scale = context
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -202,7 +212,18 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, sq, self.num_heads, self.head_dim)
         k = k.reshape(b, sk, self.num_heads, self.head_dim)
         v = v.reshape(b, sk, self.num_heads, self.head_dim)
-        out = attention(q, k, v).reshape(b, sq, inner)
+        out = attention(q, k, v)
+        if ip_context is not None:
+            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_k_ip")(ip_context)
+            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_v_ip")(ip_context)
+            st = ip_context.shape[1]
+            k_ip = k_ip.reshape(b, st, self.num_heads, self.head_dim)
+            v_ip = v_ip.reshape(b, st, self.num_heads, self.head_dim)
+            out = out + jnp.asarray(ip_scale, out.dtype) \
+                * attention(q, k_ip, v_ip)
+        out = out.reshape(b, sq, inner)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
 
 

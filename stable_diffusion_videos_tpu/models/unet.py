@@ -172,7 +172,8 @@ class UNet2DCondition(nn.Module):
                  time_ids: jax.Array = None, *,
                  cache_split: int = None,
                  deep_feature: jax.Array = None,
-                 ctrl_down: tuple = None, ctrl_mid: jax.Array = None):
+                 ctrl_down: tuple = None, ctrl_mid: jax.Array = None,
+                 ip_context: jax.Array = None, ip_scale=1.0):
         """sample: (B,H,W,C) latents; timesteps: (B,) or scalar;
         encoder_hidden_states: (B, S, cross_attention_dim). Returns (B,H,W,C).
 
@@ -192,7 +193,12 @@ class UNet2DCondition(nn.Module):
         ControlNet conditioning (``ctrl_down``/``ctrl_mid``): per-skip
         residuals from ``models/controlnet.py`` added to the down-path skip
         connections and the mid-block output.  Incompatible with the
-        shallow step-cache pass (the deep skips don't exist there)."""
+        shallow step-cache pass (the deep skips don't exist there).
+
+        IP-Adapter image prompting (``ip_context``): (B, T, D) projected
+        image tokens routed to every cross-attention's decoupled
+        ``to_k_ip``/``to_v_ip`` projections, summed at ``ip_scale``
+        (models/ip_adapter.py; params spliced at load)."""
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -229,6 +235,11 @@ class UNet2DCondition(nn.Module):
             raise ValueError("deep_feature requires cache_split")
 
         ctx = encoder_hidden_states.astype(self.dtype)
+        if ip_context is not None:
+            # tuple context = decoupled image-token attention in every
+            # cross-attn block (layers.CrossAttention unpacks it)
+            ctx = (ctx, ip_context.astype(self.dtype),
+                   jnp.asarray(ip_scale, self.dtype))
         x = sample.astype(self.dtype)
         x = nn.Conv(cfg.block_out_channels[0], (3, 3),
                     padding=conv_padding(self.tiled), dtype=self.dtype,

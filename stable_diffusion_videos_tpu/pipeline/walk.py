@@ -99,7 +99,7 @@ class StableDiffusionWalkPipeline:
                  guidance_rescale: float = 0.0,
                  guidance_interval=None,
                  prompt_weighting: bool = False,
-                 controlnet=None, freeu=None):
+                 controlnet=None, freeu=None, ip_adapter=None):
         if freeu:
             # training-free detail/quality boost (Si et al. 2023): True =
             # published per-family factors, or an explicit (b1, b2, s1, s2)
@@ -113,13 +113,22 @@ class StableDiffusionWalkPipeline:
                 controlnet = [load_controlnet(c)
                               if isinstance(c, (str, Path)) else c
                               for c in controlnet]
+        if isinstance(ip_adapter, (str, Path, tuple)):
+            # path, or (checkpoint, CLIP-image-encoder dir) for on-the-fly
+            # image embedding
+            from ..models.ip_adapter import load_ip_adapter
+            if isinstance(ip_adapter, tuple):
+                ip_adapter = load_ip_adapter(ip_adapter[0], models,
+                                             image_encoder=ip_adapter[1])
+            else:
+                ip_adapter = load_ip_adapter(ip_adapter, models)
         self.engine = Engine(models, mesh=mesh, scheduler=scheduler,
                              batch_bucket=batch_bucket,
                              step_cache=step_cache,
                              step_cache_split=step_cache_split,
                              guidance_rescale=guidance_rescale,
                              guidance_interval=guidance_interval,
-                             controlnet=controlnet)
+                             controlnet=controlnet, ip_adapter=ip_adapter)
         #: opt-in A1111/compel emphasis syntax + >77-token prompt chunking
         #: (core/prompt_weighting.py); off by default so literal parentheses
         #: in prompts keep the reference's verbatim semantics
@@ -239,6 +248,18 @@ class StableDiffusionWalkPipeline:
                     uncond_pooled=self.engine.embed_text_pooled(
                         negative_prompt or ""))
 
+    def _ip_kwargs(self, ip_image, ip_scale: float = 1.0) -> dict:
+        """One image prompt -> the engine's (ip_tokens, ip_scale) kwargs.
+        Computed ONCE per call site and reused for every dispatch (the
+        tokens are a per-request constant, not per-step work)."""
+        if ip_image is None:
+            return {}
+        if self.engine.ip is None:
+            raise ValueError("ip_image= requires a pipeline built with "
+                             "ip_adapter= (see models/ip_adapter.py)")
+        return dict(ip_tokens=self.engine.ip.image_tokens(ip_image),
+                    ip_scale=float(ip_scale))
+
     def init_noise(self, seed: int, noise_shape, dtype=np.float32):
         """Seeded latent noise, torch-stream-compatible by default
         (reference ``init_noise``, ``stable_diffusion_pipeline.py:822-838``).
@@ -328,7 +349,8 @@ class StableDiffusionWalkPipeline:
                          negative_prompt: Optional[str] = None,
                          step: Optional[tuple] = None, frame_sink=None,
                          upsample_weights: Optional[str] = None,
-                         control_image=None, controlnet_scale: float = 1.0):
+                         control_image=None, controlnet_scale: float = 1.0,
+                         ip_image=None, ip_scale: float = 1.0):
         """Generate frames for one prompt-pair clip (reference
         ``make_clip_frames``, ``stable_diffusion_pipeline.py:481-554``).
 
@@ -387,6 +409,7 @@ class StableDiffusionWalkPipeline:
             uncond = self.engine.embed_text(neg)
             uncond_pooled = (self.engine.embed_text_pooled(neg)
                              if self.models.is_xl else None)
+        ip_kw = self._ip_kwargs(ip_image, ip_scale)
         from concurrent.futures import ThreadPoolExecutor
         save_pool = ThreadPoolExecutor(max_workers=4,
                                        thread_name_prefix="frame-save")
@@ -438,7 +461,7 @@ class StableDiffusionWalkPipeline:
                         c if c.shape[0] == 1
                         else c[frame_index:frame_index + len(noise)]
                         for c in control]),
-                    control_scale=controlnet_scale)
+                    control_scale=controlnet_scale, **ip_kw)
             # overlap: save the previous batch while this one computes
             if pending is not None:
                 drain(pending)
@@ -476,7 +499,8 @@ class StableDiffusionWalkPipeline:
              jit: Optional[bool] = None,
              upsample_weights: Optional[str] = None,
              control_image=None,
-             controlnet_scale: float = 1.0) -> Optional[str]:
+             controlnet_scale: float = 1.0,
+             ip_image=None, ip_scale: float = 1.0) -> Optional[str]:
         """Generate a video walking through prompt/seed pairs — reference
         ``walk()`` (``stable_diffusion_pipeline.py:556-807``), same API and
         output directory layout (clip subdirs + per-clip mp4 + final mp4 +
@@ -671,7 +695,8 @@ class StableDiffusionWalkPipeline:
                         negative_prompt=negative_prompt,
                         step=(i, len(clip_pairs)), frame_sink=frame_sink,
                         control_image=control_image,
-                        controlnet_scale=controlnet_scale)
+                        controlnet_scale=controlnet_scale,
+                        ip_image=ip_image, ip_scale=ip_scale)
                     if frame_sink is not None:
                         with self.timer.stage("encode"):
                             frame_sink.close()
@@ -710,7 +735,8 @@ class StableDiffusionWalkPipeline:
                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
                 eta: float = 0.0, negative_prompt: Optional[str] = None,
                 seed: int = 0, output_type: str = "pil",
-                control_image=None, controlnet_scale: float = 1.0):
+                control_image=None, controlnet_scale: float = 1.0,
+                ip_image=None, ip_scale: float = 1.0):
         """Image-to-image: re-noise an input image partway and denoise toward
         ``prompt`` (beyond the reference's feature set; ddim/euler/dpm).
 
@@ -736,12 +762,14 @@ class StableDiffusionWalkPipeline:
             ctrl_kw = dict(control=load_control_image(
                 control_image, latents.shape[1] * f, latents.shape[2] * f),
                 control_scale=controlnet_scale)
+        ip_kw = self._ip_kwargs(ip_image, ip_scale)
         with self.timer.stage("denoise"):
             images = self.engine.img2img(
                 cond, uncond, latents, strength=strength,
                 num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale, eta=eta,
-                key=jax.random.PRNGKey(int(seed)), **xl_kw, **ctrl_kw)
+                key=jax.random.PRNGKey(int(seed)), **xl_kw, **ctrl_kw,
+                **ip_kw)
         self.timer.add_frames(len(images))
         if output_type == "pil":
             return self._postprocess(images)
@@ -805,6 +833,7 @@ class StableDiffusionWalkPipeline:
                 control_video=None, controlnet_scale: float = 1.0,
                 control_from_source: Optional[str] = None,
                 canny_thresholds=(100, 200),
+                ip_image=None, ip_scale: float = 1.0,
                 shared_noise: bool = True, output_type: str = "video"):
         """Video-to-video restyling: re-noise every frame of an input video
         partway (``strength``) and denoise it toward ``prompt`` — batched
@@ -925,6 +954,7 @@ class StableDiffusionWalkPipeline:
 
         cond = uncond = None
         xl_kw = {}
+        ip_kw = self._ip_kwargs(ip_image, ip_scale)
         noise = None
         writer = None
         out_frames: List[Image.Image] = []
@@ -962,7 +992,7 @@ class StableDiffusionWalkPipeline:
                     num_inference_steps=num_inference_steps,
                     guidance_scale=guidance_scale,
                     key=jax.random.PRNGKey(int(seed) * 9973 + frame_idx),
-                    noise=noise, **xl_kw, **ctrl_kw)
+                    noise=noise, **xl_kw, **ctrl_kw, **ip_kw)
             self.timer.add_frames(len(images))
             for img in self._postprocess(images):
                 if output_type == "frames":

@@ -71,7 +71,14 @@ class Engine:
                  step_cache_split: int = 1,
                  guidance_rescale: float = 0.0,
                  guidance_interval: Optional[tuple] = None,
-                 controlnet=None):
+                 controlnet=None, ip_adapter=None):
+        #: IP-Adapter image prompting (models/ip_adapter.py): decoupled K/V
+        #: kernels are spliced into the UNet param tree up front, and the
+        #: projected image tokens ride into every program as two extra
+        #: ``added`` operands (uncond rows = projection of a zero embed)
+        self.ip = ip_adapter
+        if ip_adapter is not None:
+            models = ip_adapter.splice(models)
         self.models = models
         self.mesh = mesh if mesh is not None else make_mesh()
         #: debug=True swaps the fused lax.scan for a per-step python loop so
@@ -340,6 +347,7 @@ class Engine:
             spatial = NamedSharding(self.mesh, P("data", None, "model", None))
 
         is_xl = self.models.is_xl
+        with_ip = self.ip is not None
         cache_k = self.step_cache if not self.debug else None
         cache_split = self.step_cache_split if cache_k else None
         if with_ctrl and cache_k:
@@ -405,12 +413,16 @@ class Engine:
                     mid_sum = mid_sum * keep
                 ctrl_kw = dict(ctrl_down=tuple(down_sum), ctrl_mid=mid_sum)
 
+            ip_kw = (dict(ip_context=cond_rows(added[-2]),
+                          ip_scale=added[-1]) if with_ip else {})
+
             def call_unet(deep_feat):
                 args = ((cond_rows(added[0]), cond_rows(added[1]))
                         if is_xl else ())
                 return unet.apply(params["unet"], inp2, tb, ctx, *args,
                                   cache_split=cache_split,
-                                  deep_feature=deep_feat, **ctrl_kw)
+                                  deep_feature=deep_feat, **ctrl_kw,
+                                  **ip_kw)
 
             if cache_k:
                 # full trunk every cache_k steps; shallow splice in between
@@ -499,7 +511,8 @@ class Engine:
         # is () for SD1/2 or the (pooled, time_ids) pair for SDXL, both
         # batch-sharded; ``ctrl`` is () or one (CFG-doubled control map,
         # scale) pair per ControlNet.
-        added_spec = (bs, bs) if is_xl else ()
+        added_spec = ((bs, bs) if is_xl else ()) \
+            + ((bs, rep) if with_ip else ())
         ctrl_spec = (tuple((bs, rep) for _ in self.controlnet)
                      if with_ctrl else ())
         return jax.jit(
@@ -522,13 +535,42 @@ class Engine:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+    def _ip_args(self, pad, ip_tokens, ip_scale, B: int):
+        """IP-Adapter operands for one dispatch: the CFG-stacked (2Bp, T, D)
+        image tokens (uncond half = projection of a ZERO image embedding,
+        the published formulation) and the traced scale.  With an adapter
+        loaded but no image this dispatch, scale pins to 0 so the program
+        shape stays stable across requests."""
+        if self.ip is None:
+            if ip_tokens is not None:
+                raise ValueError("ip_tokens= passed but this Engine has no "
+                                 "IP-Adapter (Engine(ip_adapter=...))")
+            return ()
+        un = jnp.asarray(self.ip.uncond_tokens(), jnp.float32)
+        if ip_tokens is None:
+            cond, ip_scale = un, 0.0
+        else:
+            cond = jnp.asarray(ip_tokens, jnp.float32)
+            if cond.ndim == 2:
+                cond = cond[None]
+        if cond.shape[0] == 1 and B > 1:
+            cond = jnp.broadcast_to(cond, (B,) + cond.shape[1:])
+        un = jnp.broadcast_to(un, cond.shape)
+        bs = batch_sharding(self.mesh)
+        ctx = jax.device_put(
+            jnp.concatenate([pad(un), pad(cond)], axis=0), bs)
+        return (ctx, jnp.float32(ip_scale))
+
     def _added_conds(self, pad, pooled, uncond_pooled, B: int, Bp: int,
-                     h: int, w: int):
+                     h: int, w: int, ip_tokens=None, ip_scale=1.0):
         """SDXL text_time conditioning for one dispatch: the CFG-stacked
         pooled embeddings and the size/crop time_ids
-        (orig_h, orig_w, 0, 0, target_h, target_w)."""
+        (orig_h, orig_w, 0, 0, target_h, target_w).  When the engine carries
+        an IP-Adapter, the (image tokens, scale) pair is appended — indices
+        0/1 stay the XL pair, -2/-1 the IP pair."""
+        ip = self._ip_args(pad, ip_tokens, ip_scale, B)
         if not self.models.is_xl:
-            return ()
+            return () + ip
         if pooled is None:
             raise ValueError("SDXL bundle: pass pooled= (see "
                              "embed_text_pooled)")
@@ -558,7 +600,7 @@ class Engine:
         added = (jax.device_put(
             jnp.concatenate([pad(uncond_pooled), pad(pooled)], axis=0), bs),
             jax.device_put(tids, bs))
-        return added
+        return added + ip
 
     def _ctrl_args(self, pad, control, control_scale, B: int, h: int,
                    w: int):
@@ -612,7 +654,8 @@ class Engine:
                              output_dtype: str = "float32",
                              pooled=None, uncond_pooled=None,
                              control=None, control_scale=1.0,
-                             guess_mode: bool = False):
+                             guess_mode: bool = False,
+                             ip_tokens=None, ip_scale=1.0):
         """Launch one sharded dispatch; returns (device_array, valid_batch).
 
         cond/uncond: (B, S, D) text embeddings; noise: (B, h, w, 4).
@@ -650,7 +693,8 @@ class Engine:
         context = jax.device_put(context, bs)
         noise_p = jax.device_put(noise_p, bs)
         h, w = noise.shape[1], noise.shape[2]
-        added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w)
+        added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w,
+                                  ip_tokens=ip_tokens, ip_scale=ip_scale)
         ctrl = self._ctrl_args(pad, control, control_scale, B, h, w)
         tables = self._tables(num_inference_steps, eta)
         out_u8 = output_dtype == "uint8" and self.vae_tile is None
@@ -825,7 +869,7 @@ class Engine:
                 eta: float = 0.0, key=None, pooled=None,
                 uncond_pooled=None, control=None,
                 control_scale=1.0, guess_mode: bool = False,
-                noise=None) -> np.ndarray:
+                noise=None, ip_tokens=None, ip_scale=1.0) -> np.ndarray:
         """Denoise from a noised version of ``init_latents`` (scaled VAE
         means, (B, h, w, 4)): ``strength`` in (0, 1] controls how much of the
         schedule runs (1.0 == full txt2img from noise).
@@ -875,7 +919,8 @@ class Engine:
             jnp.concatenate([pad(uncond), pad(cond)], axis=0), bs)
         noisy_p = jax.device_put(pad(noisy), bs)
         h, w = noisy.shape[1], noisy.shape[2]
-        added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w)
+        added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w,
+                                  ip_tokens=ip_tokens, ip_scale=ip_scale)
         ctrl = self._ctrl_args(pad, control, control_scale, B, h, w)
         fn = self._get_compiled(Bp, h, w,
                                 ("img2img", num_inference_steps, k0),
@@ -890,7 +935,8 @@ class Engine:
     def inpaint(self, cond, uncond, init_latents, mask, *,
                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
                 eta: float = 0.0, key=None, pooled=None,
-                uncond_pooled=None) -> np.ndarray:
+                uncond_pooled=None, ip_tokens=None,
+                ip_scale=1.0) -> np.ndarray:
         """Masked generation: regenerate where ``mask``==1, keep the init
         image elsewhere by re-injecting the correctly-noised known region
         after every scheduler step (RePaint-style projection).
@@ -961,6 +1007,7 @@ class Engine:
             return jnp.where(last, init, noised)
 
         is_xl = self.models.is_xl
+        with_ip = self.ip is not None
 
         def program(params, context, added, init, mask, guidance, tables,
                     key):
@@ -976,11 +1023,14 @@ class Engine:
                 inp = sched.scale_model_input(tables, st, i, lat)
                 inp2 = jnp.concatenate([inp, inp], axis=0)
                 tb = jnp.broadcast_to(t, (inp2.shape[0],))
+                ip_kw = (dict(ip_context=added[-2], ip_scale=added[-1])
+                         if with_ip else {})
                 if is_xl:
                     eps = unet.apply(params["unet"], inp2, tb, context,
-                                     added[0], added[1])
+                                     added[0], added[1], **ip_kw)
                 else:
-                    eps = unet.apply(params["unet"], inp2, tb, context)
+                    eps = unet.apply(params["unet"], inp2, tb, context,
+                                     **ip_kw)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = apply_guidance(eps_u, eps_c, guidance,
                                      self.guidance_rescale)
@@ -997,7 +1047,8 @@ class Engine:
 
         bs = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
-        added_spec = (bs, bs) if is_xl else ()
+        added_spec = ((bs, bs) if is_xl else ()) \
+            + ((bs, rep) if with_ip else ())
         return jax.jit(program,
                        in_shardings=(self._param_shardings, bs, added_spec,
                                      bs, bs, rep, rep, rep),

@@ -235,6 +235,14 @@ class Server:
                              "and 'prompt'")
         from PIL import Image
         img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
+        ip_kw = {}
+        if body.get("ip_image"):
+            # image prompt (base64) — requires a server pipeline built with
+            # ip_adapter=; the pipeline raises a clear ValueError otherwise
+            ip_kw = dict(
+                ip_image=Image.open(
+                    io.BytesIO(base64.b64decode(body["ip_image"]))),
+                ip_scale=float(body.get("ip_scale", 1.0)))
         with self.dispatch_lock:
             pils = self.pipeline.img2img(
                 img, body["prompt"],
@@ -242,7 +250,7 @@ class Server:
                 num_inference_steps=self._steps(body),
                 guidance_scale=float(body.get("guidance_scale", 7.5)),
                 negative_prompt=body.get("negative_prompt"),
-                seed=int(body.get("seed", 0)))
+                seed=int(body.get("seed", 0)), **ip_kw)
         buf = io.BytesIO()
         pils[0].save(buf, format="PNG")
         return {"images": [base64.b64encode(buf.getvalue()).decode()],
@@ -311,7 +319,7 @@ class Server:
         "video", "video_path", "video_format", "prompt", "strength",
         "num_inference_steps", "guidance_scale", "negative_prompt", "seed",
         "height", "width", "fps", "batch_size", "frame_skip", "max_frames",
-        "name", "audio_filepath", "per_frame_noise",
+        "name", "audio_filepath", "per_frame_noise", "ip_image", "ip_scale",
     })
     #: frame ceiling per job — an unauthenticated caller must not submit a
     #: 2-hour movie
@@ -369,6 +377,11 @@ class Server:
             audio_filepath=(self._confine(body["audio_filepath"])
                             if body.get("audio_filepath") else None),
             shared_noise=not bool(body.get("per_frame_noise", False)))
+        if body.get("ip_image"):
+            from PIL import Image as PILImage
+            kwargs["ip_image"] = PILImage.open(
+                io.BytesIO(base64.b64decode(body["ip_image"])))
+            kwargs["ip_scale"] = float(body.get("ip_scale", 1.0))
         holder: dict = {}
 
         def run():
