@@ -999,7 +999,9 @@ class StableDiffusionWalkPipeline:
                     out_frames.append(img)
                 else:
                     if writer is None:
-                        writer = FrameWriter(output_filepath, fps=int(fps),
+                        # float fps preserved: truncating 29.97 -> 29 drifts
+                        # ~0.1% and desyncs a muxed audio track on long videos
+                        writer = FrameWriter(output_filepath, fps=float(fps),
                                              audio=audio, audio_sr=sr)
                     writer.add_frame(np.asarray(img))
             frame_idx += B

@@ -135,11 +135,6 @@ class Engine:
             if not 0.0 <= lo <= hi <= 1.0:
                 raise ValueError("guidance_interval must satisfy "
                                  "0 <= lo <= hi <= 1")
-            if step_cache is not None:
-                raise ValueError(
-                    "guidance_interval cannot combine with step_cache: the "
-                    "cached trunk's batch (2B CFG rows) does not match the "
-                    "cond-only segments' (B rows)")
             guidance_interval = (lo, hi) if (lo, hi) != (0.0, 1.0) else None
         self.guidance_interval = guidance_interval
         #: sequence/spatial parallelism (SURVEY.md §5.7 stretch): constrain
@@ -181,6 +176,7 @@ class Engine:
         self._cache_lock = threading.Lock()  # server threads share an engine
         self._embed_fn = None
         self._safety_fn = None
+        self._ip_uncond = None
         from collections import OrderedDict
         self._embed_cache: "OrderedDict[tuple, jax.Array]" = OrderedDict()
 
@@ -356,9 +352,14 @@ class Engine:
                              "inject residuals into")
 
         def body(params, context, added, ctrl, guidance, tables, carry, i,
-                 cfg=True):
+                 cfg=True, seg_start=0):
             # ``cfg`` is STATIC: False compiles a cond-only step (half the
-            # UNet batch) for loop segments outside self.guidance_interval
+            # UNet batch) for loop segments outside self.guidance_interval.
+            # ``seg_start`` is the segment's first loop index: the step-cache
+            # predicate is SEGMENT-relative so each guidance_interval segment
+            # opens with a full-trunk pass — its deep carry (2B rows for CFG
+            # segments, B rows cond-only) is freshly zero-initialised at the
+            # segment boundary and must be recomputed before any splice.
             if cache_k:
                 lat, st, deep = carry
             else:
@@ -427,7 +428,7 @@ class Engine:
             if cache_k:
                 # full trunk every cache_k steps; shallow splice in between
                 eps, deep = jax.lax.cond(
-                    i % cache_k == 0,
+                    (i - seg_start) % cache_k == 0,
                     lambda _: call_unet(None),
                     lambda _: call_unet(deep), None)
             else:
@@ -459,22 +460,27 @@ class Engine:
             state = sched.init_state(tables, latents.shape, key=key)
             n_loop = sched.num_loop_steps(tables)
             carry = (lat, state)
-            if cache_k:
-                ucfg = self.models.unet_config
-                f = 2 ** (cache_split - 1)
-                deep0 = jnp.zeros(
-                    (2 * latents.shape[0], latents.shape[1] // f,
-                     latents.shape[2] // f,
-                     ucfg.block_out_channels[cache_split]),
-                    self.models.dtype)
-                carry = (lat, state, deep0)
             for a, b, cfg_on in self._interval_segments(n_loop):
+                if cache_k:
+                    # per-segment deep carry: 2B rows for CFG segments, B
+                    # for cond-only; the segment-relative predicate in
+                    # ``body`` guarantees step ``a`` recomputes the full
+                    # trunk, so fresh zeros at the boundary are never read
+                    ucfg = self.models.unet_config
+                    f = 2 ** (cache_split - 1)
+                    nb = (2 if cfg_on else 1) * latents.shape[0]
+                    deep0 = jnp.zeros(
+                        (nb, latents.shape[1] // f, latents.shape[2] // f,
+                         ucfg.block_out_channels[cache_split]),
+                        self.models.dtype)
+                    carry = (carry[0], carry[1], deep0)
                 carry, _ = jax.lax.scan(
-                    lambda c, i, _cfg=cfg_on: (
+                    lambda c, i, _cfg=cfg_on, _a=a: (
                         body(params, context, added, ctrl, guidance,
-                             tables, c, i, cfg=_cfg),
+                             tables, c, i, cfg=_cfg, seg_start=_a),
                         None),
                     carry, jnp.arange(a, b))
+                carry = (carry[0], carry[1])
             lat = carry[0]
             if tiled_vae:
                 return lat  # host drives tiled decode (decode_latents_tiled)
@@ -546,7 +552,12 @@ class Engine:
                 raise ValueError("ip_tokens= passed but this Engine has no "
                                  "IP-Adapter (Engine(ip_adapter=...))")
             return ()
-        un = jnp.asarray(self.ip.uncond_tokens(), jnp.float32)
+        if self._ip_uncond is None:
+            # the zero-embed projection is a per-adapter constant — computed
+            # once, not per dispatch (it is a host-side flax apply)
+            self._ip_uncond = jnp.asarray(self.ip.uncond_tokens(),
+                                          jnp.float32)
+        un = self._ip_uncond
         if ip_tokens is None:
             cond, ip_scale = un, 0.0
         else:
@@ -971,7 +982,8 @@ class Engine:
         mask_p = jax.device_put(pad(jnp.asarray(mask, jnp.float32)), bs)
 
         h, w = init_latents.shape[1], init_latents.shape[2]
-        added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w)
+        added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w,
+                                  ip_tokens=ip_tokens, ip_scale=ip_scale)
         ckey = (Bp, h, w, ("inpaint", num_inference_steps), cond.shape[1])
         with self._cache_lock:
             if ckey not in self._compiled:

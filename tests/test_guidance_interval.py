@@ -92,8 +92,46 @@ def test_interval_validation():
         Engine(models, guidance_interval=(0.8, 0.2))
     with pytest.raises(ValueError, match="guidance_interval"):
         Engine(models, guidance_interval=(-0.1, 0.5))
-    with pytest.raises(ValueError, match="step_cache"):
-        Engine(models, guidance_interval=(0.0, 0.5), step_cache=2)
+
+
+def test_interval_composes_with_step_cache():
+    """The two speed levers compose: each interval segment re-initialises
+    its deep-trunk cache at the segment's batch (2B for CFG segments, B for
+    cond-only) and opens with a full-trunk pass (segment-relative cache
+    predicate), so the B-vs-2B mismatch that used to be rejected never
+    arises."""
+    models = SDModels.tiny()
+    cond, uncond, noise = _inputs(models)
+    kw = dict(num_inference_steps=10, guidance_scale=7.5)
+    out = Engine(models, scheduler="ddim", step_cache=2,
+                 guidance_interval=(0.2, 0.8)).denoise_frames(
+        cond, uncond, noise, **kw)
+    assert np.isfinite(out).all() and out.shape[0] == 2
+    # step_cache=1 recomputes the trunk every step == the interval-only
+    # program, bit-for-bit (cache path adds no approximation at k=1)
+    k1 = Engine(models, scheduler="ddim", step_cache=1,
+                guidance_interval=(0.2, 0.8)).denoise_frames(
+        cond, uncond, noise, **kw)
+    ref = Engine(models, scheduler="ddim",
+                 guidance_interval=(0.2, 0.8)).denoise_frames(
+        cond, uncond, noise, **kw)
+    np.testing.assert_allclose(k1, ref, atol=1e-5)
+    # k=2 is an approximation of the same program — close, not identical
+    assert float(np.abs(out - ref).max()) > 1e-7
+    err = float(np.abs(out.astype(np.float64) - ref).mean())
+    assert err < 0.25, f"step_cache=2 diverged from exact: mean err {err}"
+
+
+def test_interval_step_cache_img2img():
+    """The composed program also serves the img2img path (shared _build)."""
+    models = SDModels.tiny()
+    cond, uncond, _ = _inputs(models)
+    h = models.unet_config.sample_size
+    init = jax.random.normal(jax.random.PRNGKey(5), (2, h, h, 4)) * 0.2
+    out = Engine(models, scheduler="ddim", step_cache=2,
+                 guidance_interval=(0.0, 0.7)).img2img(
+        cond, uncond, init, strength=0.6, num_inference_steps=8)
+    assert np.isfinite(out).all()
 
 
 def test_interval_img2img():
