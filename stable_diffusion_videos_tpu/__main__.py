@@ -259,6 +259,24 @@ def cmd_parity_gate(args):
     raise SystemExit(0 if res["pass"] else 1)
 
 
+def cmd_validate(args):
+    import json as _json
+
+    from .utils.validate import run_validation
+    res = run_validation(
+        args.checkpoint, output_dir=args.output_dir,
+        reference_frames=args.reference_frames,
+        lpips_weights=args.lpips_weights,
+        upsample_weights=args.upsample_weights,
+        scheduler=args.scheduler,
+        num_inference_steps=args.num_inference_steps,
+        height=args.height, width=args.width,
+        step_cache_ks=tuple(args.step_cache_ks),
+        tokenizer_dir=args.tokenizer_dir)
+    print(_json.dumps(res, indent=2, default=str))
+    raise SystemExit(0 if res["pass"] else 1)
+
+
 def cmd_compare(args):
     import json as _json
 
@@ -399,6 +417,32 @@ def build_parser() -> argparse.ArgumentParser:
                     help="LPIPS weights .pth/.npz (or env SDV_LPIPS_WEIGHTS)")
     pg.add_argument("--lpips-net", default="alex", choices=("alex", "vgg"))
     pg.set_defaults(fn=cmd_parity_gate)
+
+    va = sub.add_parser(
+        "validate",
+        help="one-shot checkpoint validation: load -> smoke frame -> VAE "
+             "round-trip -> parity-gate walk -> step-cache quality curve "
+             "-> Real-ESRGAN demo; writes validation_report.json, exit 0 "
+             "= all run stages passed (the real-weight first-hour "
+             "playbook, docs/parity.md)")
+    va.add_argument("checkpoint",
+                    help="diffusers dir / single .ckpt(.safetensors) / "
+                         "native bundle dir")
+    va.add_argument("--output-dir", default="./validate_out")
+    va.add_argument("--reference-frames", default=None,
+                    help="reference-pipeline frame dump for the LPIPS "
+                         "parity gate (stage skipped if omitted)")
+    va.add_argument("--lpips-weights", default=None)
+    va.add_argument("--upsample-weights", default=None,
+                    help="RealESRGAN_x4plus.pth (stage skipped if omitted)")
+    va.add_argument("--scheduler", default="pndm")
+    va.add_argument("--num-inference-steps", type=int, default=50)
+    va.add_argument("--height", type=int, default=None)
+    va.add_argument("--width", type=int, default=None)
+    va.add_argument("--step-cache-ks", type=int, nargs="+", default=[2, 3])
+    va.add_argument("--tokenizer-dir", default=None,
+                    help="vocab dir for single-file checkpoints")
+    va.set_defaults(fn=cmd_validate)
 
     srv = sub.add_parser("serve", help="HTTP JSON inference server")
     _add_common(srv)

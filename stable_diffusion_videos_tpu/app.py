@@ -36,10 +36,16 @@ class Interface:
             logger.info("Interface(params=...) ignored: params are "
                         "engine-managed")
 
+        from .core.schedulers import SCHEDULER_NAMES
+        default_sched = pipeline.engine.scheduler_name
         self.interface_images = gr.Interface(
             self.fn_images,
             inputs=[
                 gr.Textbox("blueberry spaghetti", label="Prompt"),
+                gr.Textbox("", label="Negative prompt"),
+                gr.Textbox("", label="Seed (blank = random)"),
+                gr.Dropdown(list(SCHEDULER_NAMES), value=default_sched,
+                            label="Scheduler"),
                 gr.Slider(1, 24, 1, step=1, label="Batch size"),
                 gr.Slider(1, 16, 1, step=1, label="# Batches"),
                 gr.Slider(10, 100, 50, step=10, label="# Inference Steps"),
@@ -55,6 +61,9 @@ class Interface:
                 gr.Textbox("blueberry spaghetti\nstrawberry spaghetti",
                            lines=2, label="Prompts (one per line)"),
                 gr.Textbox("42\n1337", lines=2, label="Seeds (one per line)"),
+                gr.Textbox("", label="Negative prompt"),
+                gr.Dropdown(list(SCHEDULER_NAMES), value=default_sched,
+                            label="Scheduler"),
                 gr.Slider(3, 1000, 5, step=1, label="# Interpolation Steps"),
                 gr.Slider(3, 60, 5, step=1, label="Output Video FPS"),
                 gr.Slider(1, 24, 1, step=1, label="Batch size"),
@@ -69,25 +78,36 @@ class Interface:
             [self.interface_images, self.interface_videos],
             ["Images!", "Videos!"])
 
-    def fn_images(self, prompt, batch_size, num_batches, num_inference_steps,
+    def fn_images(self, prompt, negative_prompt, seed, scheduler,
+                  batch_size, num_batches, num_inference_steps,
                   guidance_scale, upsample, output_dir):
         from .pipeline.image_generation import generate_images
+        self.pipeline.set_scheduler(scheduler)
+        seeds = None
+        if str(seed).strip():
+            # one base seed from the box: consecutive seeds per image so a
+            # single value still yields a reproducible batch
+            base = int(str(seed).strip())
+            seeds = list(range(base, base + int(batch_size) * int(num_batches)))
         paths = generate_images(
             self.pipeline, prompt, batch_size=int(batch_size),
-            num_batches=int(num_batches),
+            num_batches=int(num_batches), seeds=seeds,
+            negative_prompt=negative_prompt.strip() or None,
             num_inference_steps=int(num_inference_steps),
             guidance_scale=guidance_scale, upsample=upsample,
             output_dir=output_dir,
             name=time.strftime("%Y%m%d-%H%M%S"))
         return [(p, Path(p).stem) for p in paths]
 
-    def fn_videos(self, prompts, seeds, num_interpolation_steps, fps,
-                  batch_size, num_inference_steps, guidance_scale, upsample,
-                  output_dir):
+    def fn_videos(self, prompts, seeds, negative_prompt, scheduler,
+                  num_interpolation_steps, fps, batch_size,
+                  num_inference_steps, guidance_scale, upsample, output_dir):
         prompts = [p.strip() for p in prompts.split("\n") if p.strip()]
         seeds = [int(s.strip()) for s in seeds.split("\n") if s.strip()]
+        self.pipeline.set_scheduler(scheduler)
         return self.pipeline.walk(
             prompts=prompts, seeds=seeds,
+            negative_prompt=negative_prompt.strip() or None,
             num_interpolation_steps=int(num_interpolation_steps),
             fps=int(fps), batch_size=int(batch_size),
             num_inference_steps=int(num_inference_steps),

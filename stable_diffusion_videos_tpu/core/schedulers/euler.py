@@ -35,8 +35,13 @@ def _sigma_tables(cfg: SchedulerConfig, num_inference_steps: int):
 
 
 class _EulerBase(Scheduler):
-    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int):
+    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int,
+                    start_index: int = 0):
         ts, sigmas = _sigma_tables(cfg, num_inference_steps)
+        if start_index:
+            # mid-schedule entry (img2img): truncate the sigma grid; LMS
+            # rebuilds its Lagrange warm-up over the truncated grid
+            ts, sigmas = ts[start_index:], sigmas[start_index:]
         return {
             "timesteps": jnp.asarray(ts, jnp.float32),
             "alphas_cumprod": jnp.asarray(alphas_cumprod_for(cfg), jnp.float32),

@@ -43,8 +43,15 @@ class LMS(_EulerBase):
     name = "lms"
     stochastic = False
 
-    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int):
-        tables = _EulerBase.make_tables(self, cfg, num_inference_steps)
+    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int,
+                    start_index: int = 0):
+        # start_index > 0 (img2img mid-schedule entry) truncates the sigma
+        # grid; cur_order = min(t+1, order) below then replays the
+        # Adams-Bashforth warm-up at the truncated head — the history
+        # buffer is empty at entry, so low-order steps are the only valid
+        # choice there
+        tables = _EulerBase.make_tables(self, cfg, num_inference_steps,
+                                        start_index=start_index)
         sigmas = np.asarray(tables["sigmas"], dtype=np.float64)
         tables["lms_coeffs"] = jnp.asarray(
             _lms_coeff_matrix(sigmas, cfg.lms_order), jnp.float32)

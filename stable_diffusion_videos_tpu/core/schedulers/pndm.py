@@ -34,7 +34,8 @@ class PNDM(Scheduler):
     name = "pndm"
     stochastic = False
 
-    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int):
+    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int,
+                    start_index: int = 0):
         if not cfg.skip_prk_steps:
             raise NotImplementedError(
                 "Only skip_prk_steps=True (PLMS, the SD checkpoint config) is "
@@ -47,6 +48,14 @@ class PNDM(Scheduler):
         ratio = cfg.num_train_timesteps // num_inference_steps
         base = (np.arange(0, num_inference_steps) * ratio).round().astype(np.int64) \
             + cfg.steps_offset  # ascending
+        if start_index:
+            # mid-schedule entry (img2img): drop the `start_index` highest
+            # timesteps and REPLAY the PLMS warm-up at the truncated head —
+            # the multistep history is only valid when built from steps that
+            # actually ran, so entry at k0 restarts the order ramp (this is
+            # what diffusers' counter state machine does on a sliced
+            # schedule).  All derived tables below follow automatically.
+            base = base[:num_inference_steps - start_index]
         # descending with second entry duplicated (PLMS warm-up)
         ts = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1].copy()
         L = len(ts)  # num_inference_steps + 1

@@ -48,7 +48,8 @@ class UniPC(Scheduler):
     name = "unipc"
     stochastic = False
 
-    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int):
+    def make_tables(self, cfg: SchedulerConfig, num_inference_steps: int,
+                    start_index: int = 0):
         check_num_steps(cfg, num_inference_steps + 1)
         acp = alphas_cumprod_for(cfg)
         n = cfg.num_train_timesteps
@@ -60,12 +61,19 @@ class UniPC(Scheduler):
             ratio = n // (num_inference_steps + 1)
             ts = ((np.arange(0, num_inference_steps + 1) * ratio)
                   .round()[::-1][:-1].astype(np.int64)) + cfg.steps_offset
+        if start_index:
+            # mid-schedule entry (img2img): truncate and restart the order
+            # ramp — t_prev/t_prev2 reset to the truncated head below, so
+            # the predictor opens at order 1 and the corrector stays off
+            # until real history exists (fresh warm-up, as diffusers'
+            # step-counter machine behaves on a sliced schedule)
+            ts = ts[start_index:]
 
         alpha = np.sqrt(acp)
         sigma = np.sqrt(1.0 - acp)
         lam = np.log(alpha) - np.log(sigma)
 
-        steps = num_inference_steps
+        steps = len(ts)
         t_cur = ts
         t_next = np.concatenate([ts[1:], [0]])
         t_prev = np.concatenate([[ts[0]], ts[:-1]])      # t_{i-1} (i>=1)

@@ -230,10 +230,40 @@ def _read_native_avi(path):
     return fps, gen()
 
 
+def _probe_via_ffmpeg(path) -> Optional[dict]:
+    """Parse ``ffmpeg -i`` stderr for the video stream's WxH and fps.
+
+    Keeps the decode ladder working for foreign containers (mp4/mkv/webm)
+    when cv2 is absent — no ffprobe dependency.  Returns None when ffmpeg
+    is missing or no video stream is reported; n_frames is 0 (unknown)."""
+    import re
+    ffmpeg = _find_ffmpeg()
+    if not ffmpeg:
+        return None
+    try:
+        proc = subprocess.run([ffmpeg, "-hide_banner", "-i", str(path)],
+                              capture_output=True, text=True, timeout=60)
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    for line in proc.stderr.splitlines():
+        if "Video:" not in line:
+            continue
+        m = re.search(r"\b(\d{2,5})x(\d{2,5})\b", line.split("Video:", 1)[1])
+        if not m:
+            continue
+        fm = re.search(r"([\d.]+)\s*fps", line)
+        fps = float(fm.group(1)) if fm else 30.0
+        return dict(fps=fps or 30.0, n_frames=0,
+                    width=int(m.group(1)), height=int(m.group(2)))
+    return None
+
+
 def probe_video(path) -> dict:
     """{'fps', 'n_frames', 'width', 'height'} for a video file.
 
-    n_frames may be 0 when the container does not carry a count."""
+    Probe ladder mirrors the decode ladder: cv2 -> ffmpeg stderr parse ->
+    pure-Python native-AVI reader.  n_frames may be 0 when the container
+    (or the ffmpeg probe) does not carry a count."""
     path = str(path)
     try:
         import cv2
@@ -248,6 +278,9 @@ def probe_video(path) -> dict:
                 return info
     except ImportError:
         pass
+    info = _probe_via_ffmpeg(path)
+    if info is not None:
+        return info
     fps, gen = _read_native_avi(path)
     first = next(iter(gen), None)
     n = 1 if first is not None else 0
@@ -312,10 +345,14 @@ def read_video_frames(path, size=None, frame_skip: int = 1,
 
     ffmpeg = _find_ffmpeg()
     if ffmpeg:
-        # no ffprobe dependency: ask for rgb24 at the native size by probing
-        # the first frame dimensions from the native reader is impossible for
-        # foreign containers, so let ffmpeg scale to an even size it reports.
-        info = probe_video(path)
+        # rawvideo pipe needs the frame dimensions up front; the probe may
+        # itself fall through to the native-AVI reader for our own container,
+        # which raises on foreign files — treat that as "unknown" and let the
+        # native rung below produce the final error.
+        try:
+            info = probe_video(path)
+        except (ValueError, OSError):
+            info = {"width": 0, "height": 0}
         w, h = info["width"], info["height"]
         if w and h:
             cmd = [ffmpeg, "-loglevel", "error", "-i", path,

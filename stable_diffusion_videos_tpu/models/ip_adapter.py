@@ -30,7 +30,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .safety import CLIPVisionConfig, CLIPVisionEncoder
+from .safety import (CLIP_IMAGE_MEAN, CLIP_IMAGE_STD, CLIPVisionConfig,
+                     CLIPVisionEncoder)
+
+
+def preprocess_clip_image(images: jax.Array, image_size: int) -> jax.Array:
+    """(B,H,W,3) float [0,1] -> CLIP-normalised (B,S,S,3), official
+    ``CLIPImageProcessor`` semantics: bicubic resize of the SHORTEST side to
+    ``image_size``, then center-crop — NOT a square resize, which would
+    aspect-distort non-square image prompts and shift the embedding the
+    style anchor sees (IP-Adapter ships with this preprocessing)."""
+    b, h, w, c = images.shape
+    if h <= w:
+        nh = image_size
+        nw = max(image_size, int(round(w * image_size / h)))
+    else:
+        nw = image_size
+        nh = max(image_size, int(round(h * image_size / w)))
+    x = jax.image.resize(images, (b, nh, nw, c), "cubic")
+    top, left = (nh - image_size) // 2, (nw - image_size) // 2
+    x = x[:, top:top + image_size, left:left + image_size]
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, images.dtype)
+    std = jnp.asarray(CLIP_IMAGE_STD, images.dtype)
+    return (jnp.clip(x, 0.0, 1.0) - mean) / std
 
 
 class ImageProjection(nn.Module):
@@ -135,8 +157,6 @@ class IPAdapter:
                 raise ValueError("this IPAdapter bundle has no image "
                                  "encoder — pass image_embeds=")
             from PIL import Image as PILImage
-
-            from .safety import preprocess_for_safety
             if isinstance(image, (str, Path)):
                 image = PILImage.open(image)
             if isinstance(image, PILImage.Image):
@@ -146,7 +166,7 @@ class IPAdapter:
                 image = image / 255.0
             if image.ndim == 3:
                 image = image[None]
-            pix = preprocess_for_safety(jnp.asarray(image),
+            pix = preprocess_clip_image(jnp.asarray(image),
                                         self.vision_config.image_size)
             pooled = CLIPVisionEncoder(self.vision_config).apply(
                 self.vision_params["encoder"], pix)

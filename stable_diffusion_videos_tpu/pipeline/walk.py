@@ -93,7 +93,7 @@ class StableDiffusionWalkPipeline:
     def __init__(self, models: SDModels, scheduler: str = "pndm", mesh=None,
                  batch_bucket: Optional[int] = None,
                  embed_interp: str = "lerp", noise_interp: str = "slerp",
-                 rng_impl: str = "torch", safety: bool = False,
+                 rng_impl: str = "torch", safety: Optional[bool] = None,
                  step_cache: Optional[int] = None,
                  step_cache_split: int = 1,
                  guidance_rescale: float = 0.0,
@@ -136,7 +136,19 @@ class StableDiffusionWalkPipeline:
         self.embed_interp = embed_interp
         self.noise_interp = noise_interp
         self.rng_impl = rng_impl
-        self.safety = safety
+        #: safety-checker default matches the reference (ON when the bundle
+        #: carries a checker, loud warning otherwise —
+        #: ``stable_diffusion_pipeline.py:112-120``); ``safety=None`` = auto.
+        #: Pass ``safety=False`` for the reference's explicit opt-out.
+        if safety is None:
+            safety = models.safety_checker() is not None
+            if not safety:
+                logger.warning(
+                    "This bundle has no safety checker — NSFW filtering is "
+                    "DISABLED.  Load a bundle with safety_checker params (or "
+                    "pass safety=False to silence this warning); see the "
+                    "Stable Diffusion license conditions of use.")
+        self.safety = bool(safety)
         self.upsampler = None
         self.timer = StageTimer()
         #: optional callable(dict) — receives {clip, clips_total,
@@ -144,6 +156,11 @@ class StableDiffusionWalkPipeline:
         #: /jobs/<id> streams it)
         self.on_progress = None
         self._progress = None
+
+    def set_scheduler(self, name: str) -> None:
+        """Switch the sampler on the live engine (see Engine.set_scheduler);
+        the diffusers idiom ``pipe.scheduler = X`` maps to this."""
+        self.engine.set_scheduler(name)
 
     # ------------------------------------------------------------------
     # constructors
@@ -781,7 +798,7 @@ class StableDiffusionWalkPipeline:
                 output_type: str = "pil"):
         """Masked regeneration: ``mask`` white (1) = regenerate from
         ``prompt``, black (0) = keep ``image``.  mask: PIL (L/RGB) or (H,W)
-        array; ddim/euler/dpm samplers."""
+        array; any of the 8 samplers (see Engine.inpaint)."""
         if isinstance(image, Image.Image):
             arr = np.asarray(image.convert("RGB"), np.float32) / 255.0
         else:
@@ -834,7 +851,8 @@ class StableDiffusionWalkPipeline:
                 control_from_source: Optional[str] = None,
                 canny_thresholds=(100, 200),
                 ip_image=None, ip_scale: float = 1.0,
-                shared_noise: bool = True, output_type: str = "video"):
+                shared_noise: bool = True, latent_ema: float = 0.0,
+                output_type: str = "video"):
         """Video-to-video restyling: re-noise every frame of an input video
         partway (``strength``) and denoise it toward ``prompt`` — batched
         img2img dispatches with a TEMPORALLY FROZEN re-noising sample
@@ -854,21 +872,18 @@ class StableDiffusionWalkPipeline:
         frame on the fly — "canny" (cv2 edges, ``canny_thresholds``) or
         "identity" (the frame itself, for tile/ip2p-style nets); no
         offline preprocessing pass needed.
+        ``latent_ema``: opt-in second coherence lever beyond the frozen
+        noise — a causal exponential blend of each frame's SOURCE latents
+        toward the running EMA (``z~_i = (1-a) z_i + a z~_{i-1}``) before
+        re-noising.  It low-passes temporal noise in the input (sensor
+        grain, compression shimmer) that ``strength`` would otherwise
+        amplify into style flicker; 0.0 = off, 0.3-0.6 typical.  Measured
+        with ``utils.metrics.temporal_flicker`` (see tests/test_vid2vid.py).
         ``output_type``: "video" (writes ``output_filepath``, returns its
         path) or "frames" (returns a list of PIL images).
         """
         from ..media.video import (FrameWriter, iter_frames, probe_video,
                                    read_video_frames)
-        if self.engine.scheduler_name not in ("ddim", "euler",
-                                              "euler_ancestral", "dpm",
-                                              "lcm"):
-            # fail BEFORE any decode work: img2img slices the schedule
-            # mid-way, which index-history samplers can't do (engine
-            # ``_sliced_tables``)
-            raise NotImplementedError(
-                f"vid2vid needs an img2img-capable sampler "
-                f"(ddim/euler/euler_ancestral/dpm/lcm), pipeline has "
-                f"{self.engine.scheduler_name!r}")
         batch_size = batch_size or self.models.default_batch_size
         f = self.models.vae_scale_factor
         grain = f * 8  # keep every UNet level's spatial dims integral
@@ -952,6 +967,8 @@ class StableDiffusionWalkPipeline:
             from ..audio.analysis import load_audio
             audio, sr = load_audio(audio_filepath, sr=sr)
 
+        if not 0.0 <= latent_ema < 1.0:
+            raise ValueError("latent_ema must be in [0, 1)")
         cond = uncond = None
         xl_kw = {}
         ip_kw = self._ip_kwargs(ip_image, ip_scale)
@@ -959,9 +976,10 @@ class StableDiffusionWalkPipeline:
         writer = None
         out_frames: List[Image.Image] = []
         frame_idx = 0
+        ema_lat = None  # causal EMA carry across batches (latent_ema)
 
         def flush(batch):
-            nonlocal cond, uncond, xl_kw, noise, writer, frame_idx
+            nonlocal cond, uncond, xl_kw, noise, writer, frame_idx, ema_lat
             arr = np.stack(batch).astype(np.float32) / 255.0
             B = arr.shape[0]
             if cond is None:
@@ -972,6 +990,16 @@ class StableDiffusionWalkPipeline:
             if self.models.is_xl:
                 xl_kw = self._xl_pooled_kwargs(prompt, negative_prompt, B)
             latents = self.engine.encode_image(arr * 2.0 - 1.0)
+            if latent_ema > 0.0:
+                # causal EMA over SOURCE latents (host-side: one tiny
+                # sequential pass per batch; the carry spans batches so
+                # coherence is unbroken at batch boundaries)
+                lat = np.array(latents, np.float32)  # writable copy
+                for j in range(B):
+                    ema_lat = lat[j] if ema_lat is None else (
+                        (1.0 - latent_ema) * lat[j] + latent_ema * ema_lat)
+                    lat[j] = ema_lat
+                latents = lat
             if shared_noise and noise is None:
                 noise = self.init_noise(
                     seed, (1,) + latents.shape[1:3]

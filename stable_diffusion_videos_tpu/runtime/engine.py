@@ -39,6 +39,47 @@ from ..parallel.mesh import (batch_sharding, data_parallel_size, make_mesh,
 
 logger = logging.getLogger("sdv_tpu")
 
+_compile_cache_enabled = False
+
+
+def enable_compile_cache() -> Optional[str]:
+    """Enable JAX's persistent compilation cache for every engine user.
+
+    Cold-compiling the fused walk program costs 87-440 s (docs/
+    performance.md); with the cache a second process start replays it from
+    disk in seconds.  Called automatically from ``Engine.__init__`` so the
+    CLI and library paths benefit, not just bench.py.  Set
+    ``SDV_COMPILE_CACHE=0`` to opt out, ``SDV_COMPILE_CACHE_DIR`` to move it
+    (default ``~/.cache/stable_diffusion_videos_tpu/jax``).  Uses
+    ``jax.config.update`` — env-var config can be frozen by the time we run
+    (the axon sitecustomize imports jax at interpreter start).  Returns the
+    cache dir, or None when disabled / already user-configured."""
+    global _compile_cache_enabled
+    import os
+    if _compile_cache_enabled or os.environ.get("SDV_COMPILE_CACHE") == "0":
+        return None
+    _compile_cache_enabled = True
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return None  # user already configured a cache — respect it
+    except AttributeError:
+        return None
+    cache_dir = os.environ.get(
+        "SDV_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "stable_diffusion_videos_tpu", "jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache even fast compiles: the walk program family is many small
+        # variants (per batch-bucket/steps/size) and all recur across runs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001 — cache is an optimisation only
+        logger.debug("compile cache unavailable: %s", e)
+        return None
+    logger.info("persistent compile cache at %s", cache_dir)
+    return cache_dir
+
 
 def apply_guidance(eps_u: jax.Array, eps_c: jax.Array, guidance,
                    rescale: float = 0.0) -> jax.Array:
@@ -76,6 +117,7 @@ class Engine:
         #: kernels are spliced into the UNet param tree up front, and the
         #: projected image tokens ride into every program as two extra
         #: ``added`` operands (uncond rows = projection of a zero embed)
+        enable_compile_cache()
         self.ip = ip_adapter
         if ip_adapter is not None:
             models = ip_adapter.splice(models)
@@ -170,6 +212,7 @@ class Engine:
                 lambda _: replicated(self.mesh),
                 self._params["controlnet"])
         self._tile_decode_fn = None
+        self._decode_fn = None
         self._encode_fn = None
         self._compiled: dict[tuple, Any] = {}
         self._tables_cache: dict[tuple, Any] = {}
@@ -179,6 +222,23 @@ class Engine:
         self._ip_uncond = None
         from collections import OrderedDict
         self._embed_cache: "OrderedDict[tuple, jax.Array]" = OrderedDict()
+
+    # ------------------------------------------------------------------
+    # sampler switching
+    # ------------------------------------------------------------------
+    def set_scheduler(self, name: str) -> None:
+        """Switch the sampler on a live engine (UI dropdowns / server
+        requests).  Compiled programs and scheduler tables are per-sampler,
+        so both caches are dropped; text-embed caches and params survive.
+        The next dispatch pays one (persistent-cache-backed) compile."""
+        if name == self.scheduler_name:
+            return
+        sched = get_scheduler(name)  # raises KeyError before any mutation
+        with self._cache_lock:
+            self.scheduler_name = name
+            self.sched = sched
+            self._compiled.clear()
+            self._tables_cache.clear()
 
     # ------------------------------------------------------------------
     # text embedding
@@ -304,13 +364,20 @@ class Engine:
     # ------------------------------------------------------------------
     # the hot program
     # ------------------------------------------------------------------
-    def _tables(self, num_inference_steps: int, eta: float):
-        key = (self.scheduler_name, num_inference_steps, float(eta))
+    def _tables(self, num_inference_steps: int, eta: float,
+                start_index: int = 0):
+        key = (self.scheduler_name, num_inference_steps, float(eta),
+               start_index)
         with self._cache_lock:
             if key not in self._tables_cache:
                 kwargs = {}
                 if self.scheduler_name == "ddim":
                     kwargs["eta"] = float(eta)
+                if start_index:
+                    # warm-up samplers (pndm/lms/unipc): tables built for
+                    # the truncated schedule, multistep warm-up replayed at
+                    # the entry point (img2img mid-schedule entry)
+                    kwargs["start_index"] = start_index
                 self._tables_cache[key] = SchedTables(self.sched.make_tables(
                     self.models.scheduler_config, num_inference_steps,
                     **kwargs))
@@ -725,6 +792,25 @@ class Engine:
     # tiled VAE decode (>512^2 frames within HBM; cf. the reference's
     # reliance on RealESRGANer tiling for its big stage, upsampling.py:14,27)
     # ------------------------------------------------------------------
+    def decode_latents(self, latents) -> np.ndarray:
+        """(B, h, w, 4) scaled latents -> float32 [0,1] (B, H, W, 3) frames:
+        one jitted whole-frame decode, or the overlapping-tile path when
+        ``vae_tile`` is configured (standalone counterpart of the decode
+        fused into the denoise program)."""
+        if self.vae_tile is not None:
+            return self.decode_latents_tiled(latents)
+        if self._decode_fn is None:
+            vae = self.models.vae()
+            scale = self.models.vae_config.scaling_factor
+
+            def dec(params, z):
+                img = vae.apply(params["vae"], z / scale,
+                                method=AutoencoderKL.decode)
+                return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0, 1)
+            self._decode_fn = jax.jit(dec)
+        return np.asarray(self._decode_fn(self._params,
+                                          jnp.asarray(latents)))
+
     def decode_latents_tiled(self, latents) -> np.ndarray:
         """(B, h, w, 4) raw latents -> (B, 8h, 8w, 3) float [0,1] images,
         decoded in overlapping latent tiles with linear seam blending."""
@@ -848,17 +934,23 @@ class Engine:
     # ------------------------------------------------------------------
     # img2img (beyond the reference's scope; natural engine extension)
     # ------------------------------------------------------------------
+    #: samplers whose tables carry multistep warm-up history: mid-schedule
+    #: entry REBUILDS their tables for the truncated schedule (warm-up
+    #: replayed at the entry point) instead of slicing
+    _WARMUP_SAMPLERS = ("pndm", "lms", "unipc")
+    #: samplers whose noise parameterisation is the Karras sigma space
+    #: (lat + sigma * noise) rather than sqrt-alpha epsilon space
+    _SIGMA_SAMPLERS = ("euler", "euler_ancestral", "lms")
+
     def _sliced_tables(self, tables: SchedTables, k0: int) -> SchedTables:
         """Drop the first ``k0`` loop steps (img2img starts mid-schedule).
         Valid for index-aligned-table samplers (ddim/euler/euler_ancestral/
-        dpm/lcm); pndm/lms carry warm-up history so a mid-schedule entry
-        would be wrong, not just unimplemented."""
-        if self.scheduler_name not in ("ddim", "euler", "euler_ancestral",
-                                       "dpm", "lcm"):
-            raise NotImplementedError(
-                f"img2img supports ddim/euler/euler_ancestral/dpm/lcm "
-                f"(index-aligned tables); {self.scheduler_name} carries "
-                f"warm-up history")
+        dpm/lcm); warm-up samplers go through ``_tables(start_index=)``
+        instead (their history coefficients must be rebuilt, not sliced)."""
+        if self.scheduler_name in self._WARMUP_SAMPLERS:
+            raise AssertionError(
+                f"{self.scheduler_name} tables must be rebuilt via "
+                f"_tables(start_index=), not sliced")
         d = {}
         n_loop = self.sched.num_loop_steps(tables)
         for k, v in tables.items():
@@ -892,9 +984,24 @@ class Engine:
         if not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")
         tables = self._tables(num_inference_steps, eta)
-        n_loop = self.sched.num_loop_steps(tables)
-        k0 = min(n_loop - 1, int(round(n_loop * (1.0 - strength))))
-        sliced = self._sliced_tables(tables, k0)
+        if self.scheduler_name in self._WARMUP_SAMPLERS:
+            # rebuild tables for the truncated schedule: the multistep
+            # warm-up (PLMS re-eval / AB order ramp / UniPC corrector gate)
+            # replays at the entry index, which is the correct mid-schedule
+            # semantics — slicing would gather history that never ran.
+            # k0 maps strength onto the PLAIN schedule (pndm's loop has a
+            # +1 duplicated warm-up entry that strength must not count).
+            k0 = min(num_inference_steps - 1,
+                     int(round(num_inference_steps * (1.0 - strength))))
+            sliced = dict(self._tables(num_inference_steps, eta,
+                                       start_index=k0).items())
+            # the caller supplies an already-noised latent at the k0 level
+            sliced["init_noise_sigma"] = jnp.float32(1.0)
+            sliced = SchedTables(sliced)
+        else:
+            n_loop = self.sched.num_loop_steps(tables)
+            k0 = min(n_loop - 1, int(round(n_loop * (1.0 - strength))))
+            sliced = self._sliced_tables(tables, k0)
 
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -907,7 +1014,7 @@ class Engine:
                 jnp.asarray(noise, jnp.float32),
                 init_latents.shape)
         lat = jnp.asarray(init_latents, jnp.float32)
-        if self.scheduler_name in ("euler", "euler_ancestral"):
+        if self.scheduler_name in self._SIGMA_SAMPLERS:
             sigma0 = sliced["sigmas"][0]
             noisy = lat + sigma0 * noise
         else:
@@ -953,12 +1060,15 @@ class Engine:
         after every scheduler step (RePaint-style projection).
 
         init_latents: (B, h, w, 4) scaled VAE means; mask: (B, h, w, 1)
-        float in [0, 1] at latent resolution."""
-        if self.scheduler_name not in ("ddim", "euler", "euler_ancestral",
-                                       "dpm", "lcm"):
-            raise NotImplementedError(
-                "inpaint supports ddim/euler/euler_ancestral/dpm/lcm (needs "
-                "per-index noise levels; warm-up samplers not supported)")
+        float in [0, 1] at latent resolution.
+
+        All 8 samplers are supported: the known-region projection reads
+        per-index noise levels from the sigma grid (euler-family/lms) or
+        ``timesteps[i+1]``+alphas_cumprod (the rest; pndm's duplicated
+        warm-up entry makes that exactly the post-step level there too).
+        With unipc the projection slightly lags the corrector (it refines
+        the previous sample pre-projection) — standard RePaint-style
+        approximation."""
         tables = self._tables(num_inference_steps, eta)
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -1002,7 +1112,7 @@ class Engine:
         scale = self.models.vae_config.scaling_factor
         # euler_ancestral's marginal level after step i is also sigmas[i+1]
         # (sqrt(sigma_down^2 + sigma_up^2) == sigma_next)
-        sigma_space = self.scheduler_name in ("euler", "euler_ancestral")
+        sigma_space = self.scheduler_name in self._SIGMA_SAMPLERS
 
         def noised_known(tables, init, noise0, i):
             """The known region at loop-index i's POST-step noise level."""

@@ -139,3 +139,49 @@ def quality_vs_exact(frames: np.ndarray, exact: np.ndarray,
         out["lpips_max"] = round(float(np.max(d)), 5)
         out["lpips_net"] = lpips_net
     return out
+
+
+def temporal_flicker(frames, data_range: float = 1.0,
+                     lpips_weights: str | None = None,
+                     lpips_net: str = "alex") -> dict:
+    """Temporal-coherence metric for generated video: statistics of the
+    CONSECUTIVE-frame differences of ``frames`` ((T,H,W,3) float [0,1] or a
+    list of arrays/PIL images).
+
+    * ``flicker_ssim`` — mean (1 - SSIM) between consecutive frames; 0 on a
+      perfectly steady video, grows with frame-to-frame shimmer.
+    * ``flicker_mad`` — mean absolute pixel difference (same units as the
+      frames); the blunt companion that also catches large jumps SSIM's
+      local statistics can forgive.
+    * ``flicker_lpips_mean`` — mean consecutive-frame LPIPS when weights
+      are available (arg or env ``SDV_LPIPS_WEIGHTS``); the perceptual
+      version of the same statistic.
+
+    On a STATIC input video any nonzero value is pure pipeline flicker,
+    which makes this the quality gate for vid2vid coherence levers
+    (``shared_noise``, ``latent_ema`` — pipeline/walk.py vid2vid)."""
+    import os
+
+    arr = [np.asarray(f, np.float32) for f in frames]
+    arr = [a / 255.0 if a.max() > 1.5 else a for a in arr]
+    frames = np.stack(arr)
+    if frames.shape[0] < 2:
+        raise ValueError("temporal_flicker needs >= 2 frames")
+    d_ssim = [1.0 - ssim(frames[i], frames[i + 1], data_range=data_range)
+              for i in range(frames.shape[0] - 1)]
+    mad = [float(np.mean(np.abs(frames[i + 1] - frames[i])))
+           for i in range(frames.shape[0] - 1)]
+    out = {
+        "flicker_ssim": round(float(np.mean(d_ssim)), 6),
+        "flicker_ssim_max": round(float(np.max(d_ssim)), 6),
+        "flicker_mad": round(float(np.mean(mad)), 6),
+        "n_frames": int(frames.shape[0]),
+    }
+    lpips_weights = lpips_weights or os.environ.get("SDV_LPIPS_WEIGHTS")
+    if lpips_weights:
+        from .lpips import load_lpips_weights, lpips_distance
+        params = load_lpips_weights(lpips_weights, net=lpips_net)
+        d = lpips_distance(frames[:-1], frames[1:], params, net=lpips_net)
+        out["flicker_lpips_mean"] = round(float(np.mean(d)), 5)
+        out["flicker_lpips_max"] = round(float(np.max(d)), 5)
+    return out

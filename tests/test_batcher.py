@@ -117,3 +117,43 @@ def test_batcher_restarts_after_stop(pipeline):
     f = b.submit("b", seed=2, num_inference_steps=2)
     assert f.result(timeout=300).shape[-1] == 3
     b.stop()
+
+
+def test_batcher_mesh_sharded_dispatch(pipeline):
+    """VERDICT r3 #3: concurrent requests aggregate into ONE dispatch whose
+    result is sharded over the full 8-device `data` axis (virtual CPU mesh,
+    conftest); the uneven 5-request tail pads to the bucket and per-request
+    frames slice back out bit-identical to solo generations."""
+    from stable_diffusion_videos_tpu.runtime.batcher import DynamicBatcher
+    mesh = pipeline.engine.mesh
+    assert mesh.shape["data"] == 8, dict(mesh.shape)
+
+    shardings, batch_sizes = [], []
+    real = pipeline.engine.denoise_frames_async
+
+    def spy(cond, uncond, noise, **kw):
+        batch_sizes.append(noise.shape[0])
+        out, valid = real(cond, uncond, noise, **kw)
+        shardings.append(out.sharding)
+        return out, valid
+
+    b = DynamicBatcher(pipeline, max_batch=8, max_delay_ms=300).start()
+    try:
+        pipeline.engine.denoise_frames_async = spy
+        futs = [b.submit(f"mesh req {i}", seed=i, num_inference_steps=2)
+                for i in range(5)]  # uneven: 5 requests pad to bucket 8
+        frames = [f.result(timeout=300) for f in futs]
+    finally:
+        pipeline.engine.denoise_frames_async = real
+        b.stop()
+
+    assert len(shardings) == 1, f"expected 1 merged dispatch: {batch_sizes}"
+    assert batch_sizes == [5]
+    s = shardings[0]
+    assert len(s.device_set) == 8, s  # result lives sharded on all devices
+    # leading (frame) axis is the sharded one
+    assert s.spec[0] is not None, s.spec
+    # result integrity: each sliced-out frame equals a solo generation
+    solo = pipeline(prompt="mesh req 3", seed=3, num_inference_steps=2,
+                    output_type="np")[0]
+    np.testing.assert_allclose(frames[3], solo, atol=1e-5)

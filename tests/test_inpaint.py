@@ -65,10 +65,13 @@ def test_inpaint_half_mask_differs_from_keep_all(pipe, image):
     assert np.isfinite(out_half).all()
 
 
-def test_inpaint_pndm_rejected(pipe, image):
+def test_inpaint_pndm_runs(pipe, image):
+    """pndm (the default sampler) can inpaint since r4 — the projection
+    reads the post-step level from timesteps[i+1] (the duplicated warm-up
+    entry makes that exact); warm-up samplers covered in test_img2img.py."""
     from stable_diffusion_videos_tpu.models.bundle import SDModels
     from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
     p = StableDiffusionWalkPipeline(SDModels.tiny(), scheduler="pndm")
-    with pytest.raises(NotImplementedError):
-        p.inpaint(image, np.ones((16, 16), np.float32), "x",
-                  num_inference_steps=4)
+    out = p.inpaint(image, np.ones((16, 16), np.float32), "x",
+                    num_inference_steps=4, output_type="np")
+    assert np.isfinite(out).all()
