@@ -163,12 +163,24 @@ def main():
                       SchedulerConfig(), dtype=dtype)
     engine = Engine(models, scheduler="pndm", batch_bucket=batch)
 
-    # fast-mode composite (r4): DeepCache step_cache x limited-interval CFG
-    # — values picked by the on-chip sweep in tools/tpu_fastmode.py
-    # (tools/probe_r04.json); override via env to re-sweep
-    fast_sc = int(os.environ.get("SDV_FAST_STEP_CACHE", "2"))
-    fast_gi = tuple(float(x) for x in os.environ.get(
-        "SDV_FAST_GUIDANCE_INTERVAL", "0.0:0.8").split(":"))
+    # fast-mode config (r4), chosen by the on-chip sweeps in
+    # tools/tpu_fastmode.py (tools/probe_r04.json):
+    # * DeepCache step_cache=3 — 1.41x at batch 8; the largest k published
+    #   DeepCache results put at near-baseline LPIPS for 50-step SD1.x.
+    # * limited-interval CFG (0, 0.8) — a LOSS at batch 8 (cond-only steps
+    #   drop to 8 UNet rows: latency-bound, halving rows doesn't halve
+    #   time) but a real win from batch 16 (cond-only 16 rows is in the
+    #   linear region), where the composite measured 1.565x.
+    # So each mode runs at ITS best batch: exact at 8 (the canonical
+    # cross-round record), fast at 16 with the composite.  The quality
+    # gate compares fast frames against a NON-timed exact dispatch on the
+    # identical batch-16 inputs.
+    fast_sc = int(os.environ.get("SDV_FAST_STEP_CACHE", "3"))
+    _gi_env = os.environ.get("SDV_FAST_GUIDANCE_INTERVAL", "0.0:0.8")
+    fast_gi = (tuple(float(x) for x in _gi_env.split(":"))
+               if _gi_env not in ("", "none") else None)
+    fast_batch = int(os.environ.get("SDV_FAST_BATCH", "16")) if on_tpu \
+        else batch
 
     def build_fast_engine(b):
         return Engine(models, scheduler="pndm", batch_bucket=b,
@@ -266,17 +278,34 @@ def main():
     try:
         from stable_diffusion_videos_tpu.utils.metrics import \
             quality_vs_exact
-        f_eng = build_fast_engine(batch)
-        f_dt, f_times, f_compile_s, f_imgs = measure(f_eng, cond, uncond,
-                                                     noise)
-        f_fps = batch / f_dt / n_chips
-        gate = quality_vs_exact(np.asarray(f_imgs, np.float32)[:batch],
-                                np.asarray(imgs, np.float32)[:batch])
+        if fast_batch == batch:
+            f_cond, f_uncond, f_noise, exact_imgs = cond, uncond, noise, \
+                imgs
+        else:
+            f_cond = jnp.asarray(rng.standard_normal(
+                (fast_batch, 77, ucfg.cross_attention_dim), np.float32))
+            f_uncond = f_cond[:1]
+            f_noise = jnp.asarray(rng.standard_normal(
+                (fast_batch, h, w, 4), np.float32))
+            # NON-timed exact dispatch on the same inputs, for the gate
+            engine.batch_bucket = fast_batch
+            exact_imgs = engine.denoise_frames_async(
+                f_cond, f_uncond, f_noise, num_inference_steps=steps)[0]
+            sync(exact_imgs)
+        f_eng = build_fast_engine(fast_batch)
+        f_dt, f_times, f_compile_s, f_imgs = measure(f_eng, f_cond,
+                                                     f_uncond, f_noise)
+        f_fps = fast_batch / f_dt / n_chips
+        gate = quality_vs_exact(
+            np.asarray(f_imgs, np.float32)[:fast_batch],
+            np.asarray(exact_imgs, np.float32)[:fast_batch])
         fast_rec = {
             "metric": f"frames/sec/chip @ {side}x{side}, {steps}-step "
-                      f"schedule FAST (step_cache={fast_sc}, "
-                      f"guidance_interval={list(fast_gi)}), CFG, "
-                      f"batch {batch}, {jax.default_backend()}",
+                      f"schedule FAST (step_cache={fast_sc}"
+                      + (f", guidance_interval={list(fast_gi)}"
+                         if fast_gi else "")
+                      + f"), CFG, batch {fast_batch}, "
+                      f"{jax.default_backend()}",
             "value": round(f_fps, 4),
             "unit": "frames/s/chip",
             "vs_baseline": round(f_fps / A100_BASELINE_FPS, 4),

@@ -206,3 +206,38 @@ class ControlNetBundle:
                 return leaf
             params = jax.tree_util.tree_map_with_path(reinit, params)
         return cls(cfg, params, cond_channels)
+
+    @classmethod
+    def tiny_xl(cls, seed: int = 0,
+                perturb: bool = False) -> "ControlNetBundle":
+        """CPU-runnable SDXL-flavoured bundle matched to
+        ``SDModels.tiny_xl`` — exercises the text_time addition embedding
+        the XL ControlNet trunk requires (text_embeds + time_ids)."""
+        cfg = UNetConfig.tiny_xl()
+        cond_channels = (8, 16)
+        mod = ControlNet(cfg, cond_channels=cond_channels)
+        f = 2 ** (len(cond_channels) - 1)
+        lat = jnp.zeros((1, cfg.sample_size, cfg.sample_size,
+                         cfg.in_channels))
+        cond = jnp.zeros((1, cfg.sample_size * f, cfg.sample_size * f, 3))
+        ctx = jnp.zeros((1, 7, cfg.cross_attention_dim))
+        params = mod.init(jax.random.PRNGKey(seed), lat, jnp.zeros((1,)),
+                          ctx, cond,
+                          text_embeds=jnp.zeros((1, cfg.addition_pooled_dim)),
+                          time_ids=jnp.zeros((1, cfg.addition_num_ids)))
+        if perturb:
+            key = jax.random.PRNGKey(seed + 1)
+
+            def reinit(path, leaf):
+                nonlocal key
+                names = [getattr(p, "key", "") for p in path]
+                hit = (any("zero_conv" in n for n in names)
+                       or ("cond_embedding" in names
+                           and "conv_out" in names))
+                if hit:
+                    key, sub = jax.random.split(key)
+                    return 0.05 * jax.random.normal(sub, leaf.shape,
+                                                    leaf.dtype)
+                return leaf
+            params = jax.tree_util.tree_map_with_path(reinit, params)
+        return cls(cfg, params, cond_channels)

@@ -36,7 +36,8 @@ import numpy as np  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "probe_r04.json")
-STEPS, SIDE, BATCH = 50, 512, 8
+STEPS, SIDE = 50, 512
+BATCH = int(os.environ.get("SDV_PROBE_BATCH", "8"))
 
 
 def sync(x):
@@ -94,6 +95,7 @@ def main():
         (BATCH, 77, ucfg.cross_attention_dim), np.float32))
     noise = jnp.asarray(rng.standard_normal((BATCH, h, w, 4), np.float32))
 
+    import ast
     configs = [
         ("exact", {}),
         ("sc2", {"step_cache": 2}),
@@ -105,6 +107,12 @@ def main():
         ("sc3_gi_0_80", {"step_cache": 3,
                          "guidance_interval": (0.0, 0.8)}),
     ]
+    if len(sys.argv) > 1:
+        # round 2 usage: name=kwargs-dict pairs on the CLI, e.g.
+        #   tpu_fastmode.py "sc3={'step_cache':3}" "sc4={'step_cache':4}"
+        configs = [("exact", {})] + [
+            (a.split("=", 1)[0], ast.literal_eval(a.split("=", 1)[1]))
+            for a in sys.argv[1:]]
 
     results = {}
     exact_frames = None
@@ -146,7 +154,9 @@ def main():
     if os.path.exists(OUT):
         with open(OUT) as f:
             allr = json.load(f)
-    allr["fastmode_sweep"] = results
+    allr.setdefault("fastmode_sweep", {}).update(
+        {f"b{BATCH}_{k}" if BATCH != 8 else k: v
+         for k, v in results.items()})
     with open(OUT, "w") as f:
         json.dump(allr, f, indent=1)
     print("WROTE", OUT, flush=True)
