@@ -91,6 +91,11 @@ def _add_common(ap):
                     metavar="B1 B2 S1 S2",
                     help="FreeU backbone/skip re-weighting: bare flag = the "
                          "published per-family factors, or 4 explicit values")
+    ap.add_argument("--tome", nargs="+", type=float, default=None,
+                    metavar="RATIO [MAX_LEVEL]",
+                    help="ToMe-SD token merging: merge RATIO of the self-"
+                         "attention tokens (0.3-0.5 typical) at resolution "
+                         "levels <= MAX_LEVEL (default 0 = highest only)")
 
 
 def _pipeline(args):
@@ -126,6 +131,12 @@ def _pipeline(args):
                   file=sys.stderr)
             raise SystemExit(2)
         kw["freeu"] = True if len(fu) == 0 else tuple(fu)
+    tm = getattr(args, "tome", None)
+    if tm:
+        if len(tm) not in (1, 2):
+            print("--tome takes RATIO [MAX_LEVEL]", file=sys.stderr)
+            raise SystemExit(2)
+        kw["tome"] = (tm[0], int(tm[1])) if len(tm) == 2 else tm[0]
     ci = getattr(args, "control_image", None)
     if ci and not cn:
         print("--control-image requires --controlnet", file=sys.stderr)

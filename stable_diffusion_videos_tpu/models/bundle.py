@@ -43,11 +43,32 @@ class SDModels:
     #: FreeU (b1, b2, s1, s2) backbone/skip re-weighting, or None (off) —
     #: see ``UNet2DCondition.freeu`` / ``SDModels.with_freeu``
     freeu: Optional[tuple] = None
+    #: ToMe-SD token merging: (ratio, max_level) or None (off) —
+    #: see ``ops/tome.py`` / ``SDModels.with_tome``
+    tome: Optional[tuple] = None
+
+    def __post_init__(self):
+        # model init/convert compiles run before any Engine exists; on this
+        # host a cold XLA:CPU init compile costs minutes (AOT machine
+        # mismatch), so the persistent cache must engage here too
+        from ..utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
 
     # ---- module builders (modules are stateless; params passed at call) ----
     def unet(self) -> UNet2DCondition:
         return UNet2DCondition(self.unet_config, dtype=self.dtype,
-                               tiled=self.tiled, freeu=self.freeu)
+                               tiled=self.tiled, freeu=self.freeu,
+                               tome=self.tome)
+
+    def with_tome(self, ratio: float, max_level: int = 0) -> "SDModels":
+        """Bundle copy with ToMe-SD token merging (ops/tome.py): merge
+        ``ratio`` of the self-attention tokens at resolution levels
+        <= ``max_level`` (0 = only the highest resolution, the tomesd
+        ``max_downsample=1`` default).  ``ratio=0`` switches it off."""
+        if not 0.0 <= ratio < 1.0:
+            raise ValueError("tome ratio must be in [0, 1)")
+        return dataclasses.replace(
+            self, tome=(float(ratio), int(max_level)) if ratio else None)
 
     def with_freeu(self, freeu) -> "SDModels":
         """Bundle copy with FreeU on: ``freeu=True`` picks the published
@@ -112,6 +133,8 @@ class SDModels:
     def tiny(cls, seed: int = 0, dtype=jnp.float32, tiled: bool = False,
              with_safety: bool = False) -> "SDModels":
         """Randomly initialised tiny bundle — every code path CPU-runnable."""
+        from ..utils.compile_cache import enable_compile_cache
+        enable_compile_cache()  # BEFORE the init compiles below
         ucfg, vcfg, tcfg = UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny()
         scfg = SafetyConfig.tiny() if with_safety else None
         keys = jax.random.split(jax.random.PRNGKey(seed), 4)
@@ -143,6 +166,8 @@ class SDModels:
         (16+16 = the 32-wide cross-attention context), per-level transformer
         depth (0, 2), and text_time micro-conditioning — every SDXL code
         path CPU-runnable."""
+        from ..utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
         ucfg, vcfg = UNetConfig.tiny_xl(), VAEConfig.tiny()
         tcfg = CLIPTextConfig(vocab_size=1000, hidden_size=16,
                               intermediate_size=32, num_layers=2, num_heads=2,

@@ -17,7 +17,7 @@ Conventions:
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -242,18 +242,31 @@ class GEGLUFeedForward(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """self-attn -> cross-attn -> GEGLU FF, pre-LN residual blocks."""
+    """self-attn -> cross-attn -> GEGLU FF, pre-LN residual blocks.
+
+    ``tome_ratio`` > 0 runs the SELF-attention on a ToMe-merged token set
+    (``ops/tome.py``): merge -> attn1 -> unmerge, the tomesd ``merge_attn``
+    default; cross-attention and the FF see every token.  ``tokens_hw``
+    carries the spatial extent the 2x2 bipartite partition needs."""
     dim: int
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    tome_ratio: float = 0.0
+    tokens_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x, context):
         # epsilon=1e-5 matches torch nn.LayerNorm (diffusers default)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
-                               dtype=self.dtype, name="attn1")(h)
+        attn1 = CrossAttention(self.num_heads, self.head_dim, self.dim,
+                               dtype=self.dtype, name="attn1")
+        if self.tome_ratio > 0.0:
+            from ..ops.tome import tome_wrap
+            th, tw = self.tokens_hw
+            x = x + tome_wrap(attn1, h, th, tw, self.tome_ratio)
+        else:
+            x = x + attn1(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
                                dtype=self.dtype, name="attn2")(h, context)
@@ -268,6 +281,7 @@ class SpatialTransformer(nn.Module):
     head_dim: int
     depth: int = 1
     dtype: jnp.dtype = jnp.float32
+    tome_ratio: float = 0.0
 
     @nn.compact
     def __call__(self, x, context):
@@ -280,6 +294,8 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             out = BasicTransformerBlock(c, self.num_heads, self.head_dim,
                                         dtype=self.dtype,
+                                        tome_ratio=self.tome_ratio,
+                                        tokens_hw=(h, w),
                                         name=f"blocks_{i}")(out, context)
         out = out.reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)

@@ -164,6 +164,10 @@ class UNet2DCondition(nn.Module):
     #: applied at the two deepest up blocks, or None (off).  Training-free
     #: quality boost for real checkpoints; static (changing it recompiles).
     freeu: Union[Tuple[float, float, float, float], None] = None
+    #: ToMe-SD token merging (ops/tome.py) — (ratio, max_level) applied to
+    #: self-attention at resolution levels <= max_level, or None (off).
+    #: Static (changing it recompiles); composable with step caching.
+    tome: Union[Tuple[float, int], None] = None
 
     @nn.compact
     def __call__(self, sample: jax.Array, timesteps: jax.Array,
@@ -245,6 +249,14 @@ class UNet2DCondition(nn.Module):
                     padding=conv_padding(self.tiled), dtype=self.dtype,
                     name="conv_in")(x)
 
+        def tome_ratio(level):
+            # ToMe only where tokens are redundant (high resolution); the
+            # 8x8-token deep levels would lose real information
+            if self.tome is None:
+                return 0.0
+            r, max_level = self.tome
+            return r if level <= max_level else 0.0
+
         # ---- down path (shallow pass: only levels below the split; the
         # split-1 downsample feeds only the cached deep trunk, so skip it) --
         skips = [x]
@@ -259,7 +271,7 @@ class UNet2DCondition(nn.Module):
                     heads = cfg.heads(level)
                     x = SpatialTransformer(
                         heads, ch // heads, depth=cfg.depth(level),
-                        dtype=self.dtype,
+                        dtype=self.dtype, tome_ratio=tome_ratio(level),
                         name=f"down_{level}_attn_{j}")(x, ctx)
                 skips.append(x)
             if not is_last and not (shallow and level == cache_split - 1):
@@ -319,7 +331,8 @@ class UNet2DCondition(nn.Module):
                     heads = cfg.heads(level)
                     x = SpatialTransformer(
                         heads, ch // heads, depth=cfg.depth(level),
-                        dtype=self.dtype, name=f"up_{level}_attn_{j}")(x, ctx)
+                        dtype=self.dtype, tome_ratio=tome_ratio(level),
+                        name=f"up_{level}_attn_{j}")(x, ctx)
             if level != 0:
                 x = Upsample2D(ch, dtype=self.dtype, tiled=self.tiled,
                                name=f"up_{level}_upsample")(x)

@@ -99,11 +99,17 @@ class StableDiffusionWalkPipeline:
                  guidance_rescale: float = 0.0,
                  guidance_interval=None,
                  prompt_weighting: bool = False,
-                 controlnet=None, freeu=None, ip_adapter=None):
+                 controlnet=None, freeu=None, ip_adapter=None, tome=None):
         if freeu:
             # training-free detail/quality boost (Si et al. 2023): True =
             # published per-family factors, or an explicit (b1, b2, s1, s2)
             models = models.with_freeu(freeu)
+        if tome:
+            # ToMe-SD token merging (ops/tome.py): a float ratio, or
+            # (ratio, max_level) to also merge at deeper resolution levels
+            if isinstance(tome, (int, float)):
+                tome = (float(tome), 0)
+            models = models.with_tome(*tome)
         self.models = models
         if controlnet is not None:
             from ..models.weights import load_controlnet

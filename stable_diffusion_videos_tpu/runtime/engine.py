@@ -39,46 +39,9 @@ from ..parallel.mesh import (batch_sharding, data_parallel_size, make_mesh,
 
 logger = logging.getLogger("sdv_tpu")
 
-_compile_cache_enabled = False
-
-
-def enable_compile_cache() -> Optional[str]:
-    """Enable JAX's persistent compilation cache for every engine user.
-
-    Cold-compiling the fused walk program costs 87-440 s (docs/
-    performance.md); with the cache a second process start replays it from
-    disk in seconds.  Called automatically from ``Engine.__init__`` so the
-    CLI and library paths benefit, not just bench.py.  Set
-    ``SDV_COMPILE_CACHE=0`` to opt out, ``SDV_COMPILE_CACHE_DIR`` to move it
-    (default ``~/.cache/stable_diffusion_videos_tpu/jax``).  Uses
-    ``jax.config.update`` — env-var config can be frozen by the time we run
-    (the axon sitecustomize imports jax at interpreter start).  Returns the
-    cache dir, or None when disabled / already user-configured."""
-    global _compile_cache_enabled
-    import os
-    if _compile_cache_enabled or os.environ.get("SDV_COMPILE_CACHE") == "0":
-        return None
-    _compile_cache_enabled = True
-    try:
-        if jax.config.jax_compilation_cache_dir:
-            return None  # user already configured a cache — respect it
-    except AttributeError:
-        return None
-    cache_dir = os.environ.get(
-        "SDV_COMPILE_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "stable_diffusion_videos_tpu", "jax"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache even fast compiles: the walk program family is many small
-        # variants (per batch-bucket/steps/size) and all recur across runs
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # noqa: BLE001 — cache is an optimisation only
-        logger.debug("compile cache unavailable: %s", e)
-        return None
-    logger.info("persistent compile cache at %s", cache_dir)
-    return cache_dir
+# re-exported for compatibility; lives in utils so model-building paths
+# (which run before any Engine exists) enable the cache too
+from ..utils.compile_cache import enable_compile_cache  # noqa: E402,F401
 
 
 def apply_guidance(eps_u: jax.Array, eps_c: jax.Array, guidance,

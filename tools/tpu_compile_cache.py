@@ -15,6 +15,7 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)  # `python tools/...py` puts tools/ first, not ROOT
 OUT = os.path.join(ROOT, "tools", "probe_r04.json")
 
 

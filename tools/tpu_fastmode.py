@@ -36,8 +36,11 @@ import numpy as np  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "probe_r04.json")
-STEPS, SIDE = 50, 512
+STEPS = 50
+SIDE = int(os.environ.get("SDV_PROBE_SIDE", "512"))
 BATCH = int(os.environ.get("SDV_PROBE_BATCH", "8"))
+# >512^2 frames need the tiled VAE decode to stay inside HBM
+VAE_TILE = 64 if SIDE > 512 else None
 
 
 def sync(x):
@@ -117,8 +120,12 @@ def main():
     results = {}
     exact_frames = None
     for name, kw in configs:
-        engine = Engine(models, scheduler="pndm", batch_bucket=BATCH, **kw)
-        entry = dict(kw)
+        kw = dict(kw)
+        tome = kw.pop("tome", None)  # models-level lever (ops/tome.py)
+        m = models.with_tome(*tome) if tome else models
+        engine = Engine(m, scheduler="pndm", batch_bucket=BATCH,
+                        vae_tile=VAE_TILE, **kw)
+        entry = dict(kw, **({"tome": list(tome)} if tome else {}))
         if "guidance_interval" in entry:
             entry["guidance_interval"] = list(entry["guidance_interval"])
         try:
@@ -155,7 +162,8 @@ def main():
         with open(OUT) as f:
             allr = json.load(f)
     allr.setdefault("fastmode_sweep", {}).update(
-        {f"b{BATCH}_{k}" if BATCH != 8 else k: v
+        {(f"s{SIDE}_" if SIDE != 512 else "")
+         + (f"b{BATCH}_" if BATCH != 8 else "") + k: v
          for k, v in results.items()})
     with open(OUT, "w") as f:
         json.dump(allr, f, indent=1)
