@@ -165,18 +165,21 @@ def main():
 
     # fast-mode config (r4), chosen by the on-chip sweeps in
     # tools/tpu_fastmode.py (tools/probe_r04.json):
-    # * DeepCache step_cache=3 — 1.41x at batch 8; the largest k published
+    # * DeepCache step_cache=3 — 1.33x at batch 8; the largest k published
     #   DeepCache results put at near-baseline LPIPS for 50-step SD1.x.
-    # * limited-interval CFG (0, 0.8) — a LOSS at batch 8 (cond-only steps
-    #   drop to 8 UNet rows: latency-bound, halving rows doesn't halve
-    #   time) but a real win from batch 16 (cond-only 16 rows is in the
-    #   linear region), where the composite measured 1.565x.
+    # * limited-interval CFG (0.1, 0.85) — guidance off for the first 10%
+    #   (high-noise steps, where the paper shows it HELPS quality to drop
+    #   it) and final 15% of the schedule.  A LOSS at batch 8 (cond-only
+    #   steps drop to 8 UNet rows: latency-bound, halving rows doesn't
+    #   halve time) but a real win from batch 16 (cond-only 16 rows is in
+    #   the linear region): composite measured 1.94 f/s vs 1.88 for the
+    #   (0, 0.8) variant.
     # So each mode runs at ITS best batch: exact at 8 (the canonical
     # cross-round record), fast at 16 with the composite.  The quality
     # gate compares fast frames against a NON-timed exact dispatch on the
     # identical batch-16 inputs.
     fast_sc = int(os.environ.get("SDV_FAST_STEP_CACHE", "3"))
-    _gi_env = os.environ.get("SDV_FAST_GUIDANCE_INTERVAL", "0.0:0.8")
+    _gi_env = os.environ.get("SDV_FAST_GUIDANCE_INTERVAL", "0.1:0.85")
     fast_gi = (tuple(float(x) for x in _gi_env.split(":"))
                if _gi_env not in ("", "none") else None)
     fast_batch = int(os.environ.get("SDV_FAST_BATCH", "16")) if on_tpu \
