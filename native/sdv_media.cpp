@@ -92,9 +92,12 @@ struct IdxEntry {
 
 class AviWriter {
  public:
-  AviWriter(const std::string& path, int w, int h, int fps, int sr,
-            int channels)
-      : w_(w), h_(h), fps_(fps), sr_(sr), channels_(channels) {
+  // fps is a rational (fps_num/fps_den) so fractional source rates
+  // (29.97 = 30000/1001) survive the AVI scale/rate header exactly.
+  AviWriter(const std::string& path, int w, int h, int fps_num, int fps_den,
+            int sr, int channels)
+      : w_(w), h_(h), fps_num_(fps_num), fps_den_(fps_den > 0 ? fps_den : 1),
+        sr_(sr), channels_(channels) {
     f_ = fopen(path.c_str(), "wb");
     if (!f_) return;
     write_headers_placeholder();
@@ -181,8 +184,13 @@ class AviWriter {
     put_4cc(hdrl, "hdrl");
     {
       std::vector<uint8_t> avih;
-      put_u32(avih, fps_ > 0 ? 1000000u / fps_ : 0);  // usec/frame
-      put_u32(avih, static_cast<uint32_t>(w_) * h_ * 3 * fps_);  // maxBytes/s
+      put_u32(avih, fps_num_ > 0
+                        ? static_cast<uint32_t>(1000000ull * fps_den_ /
+                                                fps_num_)
+                        : 0);  // usec/frame
+      put_u32(avih, static_cast<uint32_t>(
+                  static_cast<uint64_t>(w_) * h_ * 3 * fps_num_ /
+                  fps_den_));  // maxBytes/s
       put_u32(avih, 0);                                // padding
       put_u32(avih, 0x10 | 0x100);                     // HASINDEX|ISINTERLEAVED
       avih_frames_rel_ = avih.size();
@@ -209,8 +217,8 @@ class AviWriter {
       put_u16(strh, 0);  // priority
       put_u16(strh, 0);  // language
       put_u32(strh, 0);  // initialFrames
-      put_u32(strh, 1);  // scale
-      put_u32(strh, fps_);
+      put_u32(strh, static_cast<uint32_t>(fps_den_));  // scale
+      put_u32(strh, static_cast<uint32_t>(fps_num_));    // rate
       put_u32(strh, 0);  // start
       strh_video_len_rel_ = strh.size();
       put_u32(strh, 0);  // length (patched)
@@ -311,7 +319,7 @@ class AviWriter {
   }
 
   FILE* f_ = nullptr;
-  int w_, h_, fps_, sr_, channels_;
+  int w_, h_, fps_num_, fps_den_, sr_, channels_;
   uint32_t n_frames_ = 0;
   uint32_t n_audio_samples_ = 0;
   long movi_size_pos_ = 0, movi_start_ = 0;
@@ -333,11 +341,11 @@ struct Job {
 
 class Sink {
  public:
-  Sink(const std::string& path, int w, int h, int fps, int quality,
-       int n_threads, int sr, int channels)
-      : avi_(path, w, h, fps, sr, channels),
-        w_(w), h_(h), quality_(quality), sr_(sr), fps_(fps),
-        channels_(channels) {
+  Sink(const std::string& path, int w, int h, int fps_num, int fps_den,
+       int quality, int n_threads, int sr, int channels)
+      : avi_(path, w, h, fps_num, fps_den, sr, channels),
+        w_(w), h_(h), quality_(quality), sr_(sr), fps_num_(fps_num),
+        fps_den_(fps_den > 0 ? fps_den : 1), channels_(channels) {
     if (!avi_.ok()) return;
     ok_ = true;
     int n = n_threads > 0 ? n_threads : 2;
@@ -434,8 +442,9 @@ class Sink {
   void interleave_audio_upto(uint64_t frames) {
     if (sr_ <= 0) return;
     std::lock_guard<std::mutex> lk(audio_mu_);
-    size_t want =
-        static_cast<size_t>(frames) * sr_ / (fps_ > 0 ? fps_ : 30);
+    size_t want = static_cast<size_t>(
+        frames * static_cast<uint64_t>(sr_) * fps_den_ /
+        (fps_num_ > 0 ? static_cast<uint64_t>(fps_num_) : 30));
     want *= channels_;
     if (want > audio_written_ && audio_.size() > audio_written_) {
       size_t upto = std::min(want, audio_.size());
@@ -454,7 +463,7 @@ class Sink {
   }
 
   AviWriter avi_;
-  int w_, h_, quality_, sr_, fps_, channels_;
+  int w_, h_, quality_, sr_, fps_num_, fps_den_, channels_;
   bool ok_ = false;
 
   std::mutex mu_;
@@ -483,10 +492,11 @@ class Sink {
 
 extern "C" {
 
-void* sdv_sink_open(const char* path, int w, int h, int fps, int quality,
-                    int n_threads, int audio_sr, int audio_channels) {
-  Sink* s = new Sink(path, w, h, fps, quality, n_threads, audio_sr,
-                     audio_channels);
+void* sdv_sink_open(const char* path, int w, int h, int fps_num,
+                    int fps_den, int quality, int n_threads, int audio_sr,
+                    int audio_channels) {
+  Sink* s = new Sink(path, w, h, fps_num, fps_den, quality, n_threads,
+                     audio_sr, audio_channels);
   if (!s->ok()) {
     delete s;
     return nullptr;

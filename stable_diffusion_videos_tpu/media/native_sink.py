@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import logging
 import subprocess
+from fractions import Fraction
 from pathlib import Path
 from typing import Optional
 
@@ -53,7 +54,7 @@ def load_native():
             return None
     lib = ctypes.CDLL(str(_SO_PATH))
     lib.sdv_sink_open.restype = ctypes.c_void_p
-    lib.sdv_sink_open.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 7
+    lib.sdv_sink_open.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 8
     lib.sdv_sink_add_frame.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.sdv_sink_add_audio.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_long]
@@ -71,7 +72,7 @@ def native_available() -> bool:
 class NativeAviSink:
     """Streaming MJPEG/AVI writer with optional PCM16 audio."""
 
-    def __init__(self, path, width: int, height: int, fps: int = 30,
+    def __init__(self, path, width: int, height: int, fps: float = 30,
                  quality: int = 95, n_threads: int = 4,
                  audio: Optional[np.ndarray] = None, audio_sr: int = 22050):
         lib = load_native()
@@ -88,7 +89,11 @@ class NativeAviSink:
             sr = audio_sr
             self._audio16 = np.ascontiguousarray(
                 (np.clip(a, -1, 1) * 32767.0).astype(np.int16))
-        self._h = lib.sdv_sink_open(str(path).encode(), width, height, fps,
+        # fps goes over the ABI as a rational so fractional source rates
+        # (29.97 -> 2997/100) keep exact AVI scale/rate headers
+        frac = Fraction(fps).limit_denominator(65535)
+        self._h = lib.sdv_sink_open(str(path).encode(), width, height,
+                                    frac.numerator, frac.denominator,
                                     quality, n_threads, sr, channels)
         if not self._h:
             raise RuntimeError(f"failed to open {path}")

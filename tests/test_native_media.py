@@ -102,6 +102,28 @@ def test_sink_out_of_order_threads_preserve_order(tmp_path):
     assert greens == sorted(greens), "frames muxed out of order"
 
 
+def test_fractional_fps_exact_in_header(tmp_path):
+    """29.97 fps must survive as rational scale/rate, not truncate to 29."""
+    path = tmp_path / "f.avi"
+    with NativeAviSink(path, 32, 32, fps=29.97) as sink:
+        for _ in range(3):
+            sink.add_frame(np.zeros((32, 32, 3), np.uint8))
+    data = open(path, "rb").read()
+    # video strh: fourcc 'strh' + 'vids' ... scale/rate at offsets +28/+32
+    # from the strh payload start (see AviWriter::write_headers_placeholder)
+    pos = data.find(b"vids")
+    assert pos > 0
+    payload = pos  # 'vids' is the first u32 of the strh payload
+    scale, rate = struct.unpack("<II", data[payload + 20:payload + 28])
+    assert rate / scale == pytest.approx(29.97, abs=1e-9)
+    try:
+        import cv2
+    except ImportError:
+        return
+    cap = cv2.VideoCapture(str(path))
+    assert cap.get(cv2.CAP_PROP_FPS) == pytest.approx(29.97, abs=1e-3)
+
+
 def test_frame_shape_validation(tmp_path):
     with NativeAviSink(tmp_path / "s.avi", 32, 32) as sink:
         with pytest.raises(ValueError):
