@@ -94,6 +94,7 @@ class StableDiffusionWalkPipeline:
                  batch_bucket: Optional[int] = None,
                  embed_interp: str = "lerp", noise_interp: str = "slerp",
                  rng_impl: str = "torch", safety: Optional[bool] = None,
+                 fast: bool = False,
                  step_cache: Optional[int] = None,
                  step_cache_split: int = 1,
                  guidance_rescale: float = 0.0,
@@ -110,6 +111,20 @@ class StableDiffusionWalkPipeline:
             if isinstance(tome, (int, float)):
                 tome = (float(tome), 0)
             models = models.with_tome(*tome)
+        if fast:
+            # the bench-proven quality-gated composite (bench.py,
+            # tools/probe_r04.json; gates rel_err<1e-4 / SSIM 1.000 vs
+            # exact): SD1/2 — step_cache=3 x guidance_interval (0.1,0.85)
+            # at dispatch batch 16 (cond-only segments run `batch` UNet
+            # rows; below ~16 rows the chip is latency-bound and the
+            # interval LOSES time); SDXL at 1024^2 — step_cache=2 only
+            # (batch 1-2 is always latency-bound).  Explicit kwargs win
+            # over the preset.
+            if step_cache is None:
+                step_cache = 2 if models.is_xl else 3
+            if guidance_interval is None and not models.is_xl:
+                guidance_interval = (0.1, 0.85)
+        self.fast = bool(fast)
         self.models = models
         if controlnet is not None:
             from ..models.weights import load_controlnet
@@ -542,8 +557,11 @@ class StableDiffusionWalkPipeline:
         width = width or self.models.default_size
         # batch_size=None -> the family's measured-best dispatch size
         # (docs/performance.md); the reference default of 1 is kept for
-        # explicit compatibility
-        batch_size = batch_size or self.models.default_batch_size
+        # explicit compatibility.  fast mode's interval composite needs
+        # >=16 cond-only rows to clear the latency-bound region.
+        batch_size = batch_size or (
+            16 if self.fast and not self.models.is_xl
+            else self.models.default_batch_size)
         output_path = Path(output_dir)
         name = name or time.strftime("%Y%m%d-%H%M%S")
         save_path_root = output_path / name

@@ -346,3 +346,29 @@ def test_cli_has_upsample_weights_flag():
     args = ap.parse_args(["walk", "--prompts", "a", "b", "--seeds", "1", "2",
                           "--upsample", "--upsample-weights", "/w.pth"])
     assert args.upsample_weights == "/w.pth"
+
+
+def test_fast_preset_sets_measured_composite():
+    """fast=True applies the bench-proven composite per family; explicit
+    kwargs win over the preset (docs/performance.md fast mode)."""
+    from stable_diffusion_videos_tpu.pipeline import StableDiffusionWalkPipeline
+    p = StableDiffusionWalkPipeline.tiny(fast=True)
+    assert p.engine.step_cache == 3
+    assert tuple(p.engine.guidance_interval) == (0.1, 0.85)
+    # SDXL family: step_cache=2, no interval (latency-bound at batch 1-2)
+    px = StableDiffusionWalkPipeline.tiny_xl(fast=True)
+    assert px.engine.step_cache == 2
+    assert px.engine.guidance_interval is None
+    # explicit override beats the preset
+    po = StableDiffusionWalkPipeline.tiny(fast=True, step_cache=2,
+                                          guidance_interval=(0.0, 0.8))
+    assert po.engine.step_cache == 2
+    assert tuple(po.engine.guidance_interval) == (0.0, 0.8)
+
+
+def test_fast_cli_flag_round_trip():
+    from stable_diffusion_videos_tpu.__main__ import build_parser
+    ap = build_parser()
+    args = ap.parse_args(["walk", "--prompts", "a", "b",
+                          "--seeds", "1", "2", "--fast"])
+    assert args.fast is True
