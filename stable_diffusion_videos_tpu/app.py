@@ -86,8 +86,16 @@ class Interface:
         seeds = None
         if str(seed).strip():
             # one base seed from the box: consecutive seeds per image so a
-            # single value still yields a reproducible batch
-            base = int(str(seed).strip())
+            # single value still yields a reproducible batch.  The box is
+            # freeform text — a non-integer becomes a usable gr.Error, not
+            # a raw ValueError stack trace
+            try:
+                base = int(str(seed).strip())
+            except ValueError:
+                import gradio as gr
+                raise gr.Error(
+                    f"Seed must be a whole number (got {str(seed).strip()!r});"
+                    " leave the box empty for random seeds.")
             seeds = list(range(base, base + int(batch_size) * int(num_batches)))
         paths = generate_images(
             self.pipeline, prompt, batch_size=int(batch_size),
@@ -103,7 +111,11 @@ class Interface:
                   num_interpolation_steps, fps, batch_size,
                   num_inference_steps, guidance_scale, upsample, output_dir):
         prompts = [p.strip() for p in prompts.split("\n") if p.strip()]
-        seeds = [int(s.strip()) for s in seeds.split("\n") if s.strip()]
+        try:
+            seeds = [int(s.strip()) for s in seeds.split("\n") if s.strip()]
+        except ValueError as e:
+            import gradio as gr
+            raise gr.Error(f"Seeds must be whole numbers, one per line: {e}")
         self.pipeline.set_scheduler(scheduler)
         return self.pipeline.walk(
             prompts=prompts, seeds=seeds,

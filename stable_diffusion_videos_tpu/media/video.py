@@ -206,10 +206,11 @@ def _read_native_avi(path):
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError(f"{path} is not a RIFF/AVI file")
     fps = 30.0
+    exact_fps = None
     frames = []
 
     def walk(start, end):
-        nonlocal fps
+        nonlocal fps, exact_fps
         for fourcc, p, size in _iter_riff_chunks(buf, start, end):
             if fourcc == b"LIST":
                 walk(p + 4, p + size)
@@ -217,10 +218,22 @@ def _read_native_avi(path):
                 usec = int.from_bytes(buf[p:p + 4], "little")
                 if usec:
                     fps = 1e6 / usec
+            elif (fourcc == b"strh" and size >= 28
+                    and buf[p:p + 4] == b"vids"):
+                # the video strh carries the EXACT rational (scale @20,
+                # rate @24) the muxer was given — the avih usec/frame field
+                # is integer-truncated (sdv_media.cpp writes
+                # 1000000*den/num), so 29.97 would read back ~29.9706
+                scale = int.from_bytes(buf[p + 20:p + 24], "little")
+                rate = int.from_bytes(buf[p + 24:p + 28], "little")
+                if scale and rate:
+                    exact_fps = rate / scale
             elif fourcc == b"00dc":
                 frames.append((p, size))
 
     walk(12, len(buf))
+    if exact_fps is not None:
+        fps = exact_fps
 
     def gen():
         for p, size in frames:
@@ -251,9 +264,13 @@ def _probe_via_ffmpeg(path) -> Optional[dict]:
         m = re.search(r"\b(\d{2,5})x(\d{2,5})\b", line.split("Video:", 1)[1])
         if not m:
             continue
-        fm = re.search(r"([\d.]+)\s*fps", line)
-        fps = float(fm.group(1)) if fm else 30.0
-        return dict(fps=fps or 30.0, n_frames=0,
+        # 'fps' is the container rate; 'tbr' is ffmpeg's estimate when the
+        # container carries none.  fps=None when NEITHER is reported —
+        # never a fabricated 30.0 (callers treat None as unknown)
+        fm = (re.search(r"([\d.]+)\s*fps", line)
+              or re.search(r"([\d.]+)\s*tbr", line))
+        fps = float(fm.group(1)) if fm else None
+        return dict(fps=fps, n_frames=0,
                     width=int(m.group(1)), height=int(m.group(2)))
     return None
 
@@ -261,9 +278,11 @@ def _probe_via_ffmpeg(path) -> Optional[dict]:
 def probe_video(path) -> dict:
     """{'fps', 'n_frames', 'width', 'height'} for a video file.
 
-    Probe ladder mirrors the decode ladder: cv2 -> ffmpeg stderr parse ->
-    pure-Python native-AVI reader.  n_frames may be 0 when the container
-    (or the ffmpeg probe) does not carry a count."""
+    Probe ladder mirrors the decode ladder: cv2 -> pure-Python native-AVI
+    reader (for RIFF/AVI files — exact rational fps + real frame count,
+    which the ffmpeg stderr parse cannot provide) -> ffmpeg stderr parse.
+    n_frames may be 0 when the container (or the ffmpeg probe) does not
+    carry a count."""
     path = str(path)
     try:
         import cv2
@@ -278,9 +297,16 @@ def probe_video(path) -> dict:
                 return info
     except ImportError:
         pass
-    info = _probe_via_ffmpeg(path)
-    if info is not None:
-        return info
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(12)
+        is_native_avi = magic[:4] == b"RIFF" and magic[8:12] == b"AVI "
+    except OSError:
+        is_native_avi = False
+    if not is_native_avi:
+        info = _probe_via_ffmpeg(path)
+        if info is not None:
+            return info
     fps, gen = _read_native_avi(path)
     first = next(iter(gen), None)
     n = 1 if first is not None else 0

@@ -121,7 +121,18 @@ class StableDiffusionWalkPipeline:
             # (batch 1-2 is always latency-bound).  Explicit kwargs win
             # over the preset.
             if step_cache is None:
-                step_cache = 2 if models.is_xl else 3
+                if controlnet is not None:
+                    # step_cache x ControlNet is rejected at dispatch (the
+                    # cached shallow pass has no deep skips to inject
+                    # residuals into) — the preset degrades to the interval
+                    # lever HERE instead of trapping the user with a
+                    # mid-walk ValueError after run-dir creation
+                    logger.info(
+                        "fast=True with a ControlNet: step_cache skipped "
+                        "(incompatible with residual injection); keeping "
+                        "guidance_interval")
+                else:
+                    step_cache = 2 if models.is_xl else 3
             if guidance_interval is None and not models.is_xl:
                 guidance_interval = (0.1, 0.85)
         self.fast = bool(fast)
@@ -529,7 +540,7 @@ class StableDiffusionWalkPipeline:
              num_inference_steps: int = 50, guidance_scale: float = 7.5,
              eta: float = 0.0, height: Optional[int] = None,
              width: Optional[int] = None, upsample: bool = False,
-             batch_size: Optional[int] = 1, resume: bool = False,
+             batch_size: Optional[int] = None, resume: bool = False,
              audio_filepath: Optional[str] = None,
              audio_start_sec: Optional[float] = None, margin: float = 1.0,
              smooth: float = 0.0, negative_prompt: Optional[str] = None,
@@ -555,13 +566,27 @@ class StableDiffusionWalkPipeline:
 
         height = height or self.models.default_size
         width = width or self.models.default_size
-        # batch_size=None -> the family's measured-best dispatch size
-        # (docs/performance.md); the reference default of 1 is kept for
-        # explicit compatibility.  fast mode's interval composite needs
-        # >=16 cond-only rows to clear the latency-bound region.
-        batch_size = batch_size or (
-            16 if self.fast and not self.models.is_xl
-            else self.models.default_batch_size)
+        # DEFAULT = the family's measured-best dispatch size
+        # (docs/performance.md batch ladders: b8 is ~1.7x b1 on the 512^2
+        # families) — a deliberate deviation from the reference's
+        # ``batch_size=1`` (``stable_diffusion_pipeline.py:564-566``); pass
+        # batch_size=1 explicitly for reference-identical dispatch grouping
+        # (frames are identical either way — batching only groups
+        # dispatches).  fast mode's interval composite needs >=16 cond-only
+        # rows to clear the latency-bound region.
+        if batch_size is None:
+            batch_size = (16 if self.fast and not self.models.is_xl
+                          else self.models.default_batch_size)
+            logger.info(
+                "walk(): batch_size defaulting to the measured-best %d for "
+                "this model family (the reference defaults to 1; pass "
+                "batch_size= to override)", batch_size)
+        elif batch_size == 1 and self.models.default_batch_size > 1:
+            logger.warning(
+                "walk(batch_size=1): dispatching one frame at a time is "
+                "~%dx slower than the measured-best batch_size=%d on this "
+                "family (docs/performance.md)", 2,
+                self.models.default_batch_size)
         output_path = Path(output_dir)
         name = name or time.strftime("%Y%m%d-%H%M%S")
         save_path_root = output_path / name

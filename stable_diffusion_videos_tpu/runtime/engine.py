@@ -191,17 +191,24 @@ class Engine:
     # ------------------------------------------------------------------
     def set_scheduler(self, name: str) -> None:
         """Switch the sampler on a live engine (UI dropdowns / server
-        requests).  Compiled programs and scheduler tables are per-sampler,
-        so both caches are dropped; text-embed caches and params survive.
-        The next dispatch pays one (persistent-cache-backed) compile."""
+        requests).  Compiled programs and scheduler tables are keyed by
+        sampler name, so previously-compiled programs SURVIVE the switch
+        (prewarmed samplers stay hot); concurrent dispatches snapshot
+        (name, sched) atomically at entry, so a request started under the
+        old sampler completes under it — never a mix of new program + old
+        tables (the r4 ADVICE race)."""
         if name == self.scheduler_name:
             return
         sched = get_scheduler(name)  # raises KeyError before any mutation
         with self._cache_lock:
             self.scheduler_name = name
             self.sched = sched
-            self._compiled.clear()
-            self._tables_cache.clear()
+
+    def _sched_snapshot(self):
+        """(name, sched) read atomically — every dispatch uses ONE sampler
+        end-to-end even if set_scheduler runs concurrently."""
+        with self._cache_lock:
+            return self.scheduler_name, self.sched
 
     # ------------------------------------------------------------------
     # text embedding
@@ -328,20 +335,21 @@ class Engine:
     # the hot program
     # ------------------------------------------------------------------
     def _tables(self, num_inference_steps: int, eta: float,
-                start_index: int = 0):
-        key = (self.scheduler_name, num_inference_steps, float(eta),
-               start_index)
+                start_index: int = 0, sched_name=None, sched=None):
+        if sched_name is None:
+            sched_name, sched = self._sched_snapshot()
+        key = (sched_name, num_inference_steps, float(eta), start_index)
         with self._cache_lock:
             if key not in self._tables_cache:
                 kwargs = {}
-                if self.scheduler_name == "ddim":
+                if sched_name == "ddim":
                     kwargs["eta"] = float(eta)
                 if start_index:
                     # warm-up samplers (pndm/lms/unipc): tables built for
                     # the truncated schedule, multistep warm-up replayed at
                     # the entry point (img2img mid-schedule entry)
                     kwargs["start_index"] = start_index
-                self._tables_cache[key] = SchedTables(self.sched.make_tables(
+                self._tables_cache[key] = SchedTables(sched.make_tables(
                     self.models.scheduler_config, num_inference_steps,
                     **kwargs))
             return self._tables_cache[key]
@@ -358,8 +366,8 @@ class Engine:
 
     def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int,
                out_u8: bool = False, with_ctrl: bool = False,
-               guess_mode: bool = False):
-        sched = self.sched
+               guess_mode: bool = False, sched=None):
+        sched = sched if sched is not None else self.sched
         unet = self.models.unet()
         vae = self.models.vae()
         scale = self.models.vae_config.scaling_factor
@@ -560,12 +568,18 @@ class Engine:
 
     def _get_compiled(self, batch, h, w, steps, ctx_len,
                       out_u8: bool = False, with_ctrl: bool = False,
-                      guess_mode: bool = False):
-        key = (batch, h, w, steps, ctx_len, out_u8, with_ctrl, guess_mode)
+                      guess_mode: bool = False, sched_name=None, sched=None):
+        if sched_name is None:
+            sched_name, sched = self._sched_snapshot()
+        # sampler name is part of the key: programs for different samplers
+        # coexist, and a concurrent set_scheduler can never pair a program
+        # built from one sampler with another's tables
+        key = (sched_name, batch, h, w, steps, ctx_len, out_u8, with_ctrl,
+               guess_mode)
         with self._cache_lock:
             if key not in self._compiled:
                 logger.info("compiling denoise program %s", key)
-                self._compiled[key] = self._build(*key)
+                self._compiled[key] = self._build(*key[1:], sched=sched)
             return self._compiled[key]
 
     # ------------------------------------------------------------------
@@ -737,11 +751,14 @@ class Engine:
         added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w,
                                   ip_tokens=ip_tokens, ip_scale=ip_scale)
         ctrl = self._ctrl_args(pad, control, control_scale, B, h, w)
-        tables = self._tables(num_inference_steps, eta)
+        sched_name, sched = self._sched_snapshot()
+        tables = self._tables(num_inference_steps, eta,
+                              sched_name=sched_name, sched=sched)
         out_u8 = output_dtype == "uint8" and self.vae_tile is None
         fn = self._get_compiled(Bp, h, w, num_inference_steps, cond.shape[1],
                                 out_u8, with_ctrl=bool(ctrl),
-                                guess_mode=guess_mode and bool(ctrl))
+                                guess_mode=guess_mode and bool(ctrl),
+                                sched_name=sched_name, sched=sched)
         if key is None:
             key = jax.random.PRNGKey(0)
         with _trace("denoise_dispatch"):
@@ -850,8 +867,13 @@ class Engine:
                            B, half, B - half)
 
             def part(x, sl):
-                # slice batch-aligned arrays (pooled/uncond_pooled for SDXL);
+                # slice batch-aligned arrays (pooled/uncond_pooled for SDXL,
+                # per-frame control maps, ip_tokens); recurse into lists/
+                # tuples (multi-ControlNet ``control=[...]`` — a per-net
+                # float ``control_scale`` list passes through untouched);
                 # leave scalars, keys and broadcast (1, ...) rows alone
+                if isinstance(x, (list, tuple)):
+                    return type(x)(part(e, sl) for e in x)
                 if hasattr(x, "shape") and x.ndim >= 2 and x.shape[0] == B:
                     return x[sl]
                 return x
@@ -905,24 +927,27 @@ class Engine:
     #: (lat + sigma * noise) rather than sqrt-alpha epsilon space
     _SIGMA_SAMPLERS = ("euler", "euler_ancestral", "lms")
 
-    def _sliced_tables(self, tables: SchedTables, k0: int) -> SchedTables:
+    def _sliced_tables(self, tables: SchedTables, k0: int,
+                       sched_name=None, sched=None) -> SchedTables:
         """Drop the first ``k0`` loop steps (img2img starts mid-schedule).
         Valid for index-aligned-table samplers (ddim/euler/euler_ancestral/
         dpm/lcm); warm-up samplers go through ``_tables(start_index=)``
         instead (their history coefficients must be rebuilt, not sliced)."""
-        if self.scheduler_name in self._WARMUP_SAMPLERS:
+        if sched_name is None:
+            sched_name, sched = self._sched_snapshot()
+        if sched_name in self._WARMUP_SAMPLERS:
             raise AssertionError(
-                f"{self.scheduler_name} tables must be rebuilt via "
+                f"{sched_name} tables must be rebuilt via "
                 f"_tables(start_index=), not sliced")
         d = {}
-        n_loop = self.sched.num_loop_steps(tables)
+        n_loop = sched.num_loop_steps(tables)
         for k, v in tables.items():
             if (hasattr(v, "shape") and v.ndim >= 1
                     and v.shape[0] in (n_loop, n_loop + 1)):
                 d[k] = v[k0:]
             else:
                 d[k] = v
-        if self.scheduler_name == "dpm":
+        if sched_name == "dpm":
             # the first sliced step has no model-output history
             d["first_order"] = d["first_order"].at[0].set(True)
             d["h0"] = d["h0"].at[0].set(1.0)
@@ -946,8 +971,10 @@ class Engine:
         coherence in diffusion video stylisation."""
         if not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")
-        tables = self._tables(num_inference_steps, eta)
-        if self.scheduler_name in self._WARMUP_SAMPLERS:
+        sched_name, sched = self._sched_snapshot()
+        tables = self._tables(num_inference_steps, eta,
+                              sched_name=sched_name, sched=sched)
+        if sched_name in self._WARMUP_SAMPLERS:
             # rebuild tables for the truncated schedule: the multistep
             # warm-up (PLMS re-eval / AB order ramp / UniPC corrector gate)
             # replays at the entry index, which is the correct mid-schedule
@@ -957,14 +984,16 @@ class Engine:
             k0 = min(num_inference_steps - 1,
                      int(round(num_inference_steps * (1.0 - strength))))
             sliced = dict(self._tables(num_inference_steps, eta,
-                                       start_index=k0).items())
+                                       start_index=k0, sched_name=sched_name,
+                                       sched=sched).items())
             # the caller supplies an already-noised latent at the k0 level
             sliced["init_noise_sigma"] = jnp.float32(1.0)
             sliced = SchedTables(sliced)
         else:
-            n_loop = self.sched.num_loop_steps(tables)
+            n_loop = sched.num_loop_steps(tables)
             k0 = min(n_loop - 1, int(round(n_loop * (1.0 - strength))))
-            sliced = self._sliced_tables(tables, k0)
+            sliced = self._sliced_tables(tables, k0, sched_name=sched_name,
+                                         sched=sched)
 
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -977,12 +1006,12 @@ class Engine:
                 jnp.asarray(noise, jnp.float32),
                 init_latents.shape)
         lat = jnp.asarray(init_latents, jnp.float32)
-        if self.scheduler_name in self._SIGMA_SAMPLERS:
+        if sched_name in self._SIGMA_SAMPLERS:
             sigma0 = sliced["sigmas"][0]
             noisy = lat + sigma0 * noise
         else:
             t0 = sliced["timesteps"][0].astype(jnp.int32)
-            noisy = self.sched.add_noise(tables, lat, noise, t0)
+            noisy = sched.add_noise(tables, lat, noise, t0)
 
         B = noisy.shape[0]
         Bp = pad_to_multiple(max(B, self.batch_bucket), self.batch_bucket)
@@ -1006,7 +1035,8 @@ class Engine:
         fn = self._get_compiled(Bp, h, w,
                                 ("img2img", num_inference_steps, k0),
                                 cond.shape[1], with_ctrl=bool(ctrl),
-                                guess_mode=guess_mode and bool(ctrl))
+                                guess_mode=guess_mode and bool(ctrl),
+                                sched_name=sched_name, sched=sched)
         imgs = fn(self._params, context, added, ctrl, noisy_p,
                   jnp.float32(guidance_scale), sliced, key)
         if self.vae_tile is not None:
@@ -1032,7 +1062,9 @@ class Engine:
         With unipc the projection slightly lags the corrector (it refines
         the previous sample pre-projection) — standard RePaint-style
         approximation."""
-        tables = self._tables(num_inference_steps, eta)
+        sched_name, sched = self._sched_snapshot()
+        tables = self._tables(num_inference_steps, eta,
+                              sched_name=sched_name, sched=sched)
         if key is None:
             key = jax.random.PRNGKey(0)
 
@@ -1057,10 +1089,12 @@ class Engine:
         h, w = init_latents.shape[1], init_latents.shape[2]
         added = self._added_conds(pad, pooled, uncond_pooled, B, Bp, h, w,
                                   ip_tokens=ip_tokens, ip_scale=ip_scale)
-        ckey = (Bp, h, w, ("inpaint", num_inference_steps), cond.shape[1])
+        ckey = (sched_name, Bp, h, w, ("inpaint", num_inference_steps),
+                cond.shape[1])
         with self._cache_lock:
             if ckey not in self._compiled:
-                self._compiled[ckey] = self._build_inpaint(Bp, h, w)
+                self._compiled[ckey] = self._build_inpaint(
+                    Bp, h, w, sched_name=sched_name, sched=sched)
         fn = self._compiled[ckey]
         imgs = fn(self._params, context, added, init_p, mask_p,
                   jnp.float32(guidance_scale), tables, key)
@@ -1068,14 +1102,16 @@ class Engine:
             imgs = self.decode_latents_tiled(imgs)
         return np.asarray(imgs)[:B]
 
-    def _build_inpaint(self, batch: int, h: int, w: int):
-        sched = self.sched
+    def _build_inpaint(self, batch: int, h: int, w: int,
+                       sched_name=None, sched=None):
+        if sched_name is None:
+            sched_name, sched = self._sched_snapshot()
         unet = self.models.unet()
         vae = self.models.vae()
         scale = self.models.vae_config.scaling_factor
         # euler_ancestral's marginal level after step i is also sigmas[i+1]
         # (sqrt(sigma_down^2 + sigma_up^2) == sigma_next)
-        sigma_space = self.scheduler_name in self._SIGMA_SAMPLERS
+        sigma_space = sched_name in self._SIGMA_SAMPLERS
 
         def noised_known(tables, init, noise0, i):
             """The known region at loop-index i's POST-step noise level."""

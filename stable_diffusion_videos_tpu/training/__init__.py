@@ -1,7 +1,10 @@
-"""Fine-tuning: full-UNet (sharded denoising objective) and LoRA adapters."""
+"""Fine-tuning: full-UNet (sharded denoising objective), VAE
+(reconstruction + KL), and LoRA adapters."""
 
 from .lora import LoRATrainer, init_lora_params, merge_lora
+from .structured_data import make_structured_dataset
 from .trainer import TrainConfig, UNetTrainer
+from .vae_trainer import VAETrainer
 
-__all__ = ["TrainConfig", "UNetTrainer", "LoRATrainer", "init_lora_params",
-           "merge_lora"]
+__all__ = ["TrainConfig", "UNetTrainer", "VAETrainer", "LoRATrainer",
+           "init_lora_params", "merge_lora", "make_structured_dataset"]

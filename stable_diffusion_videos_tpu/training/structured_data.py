@@ -1,0 +1,83 @@
+"""Synthetic structured image set for training quality-gate weights.
+
+Eight procedurally-generated patterns with distinct spatial statistics
+(periodic, low-frequency, radial, diagonal) and distinct colors, each with
+a text prompt.  Overfitting the small bundle on these gives the framework
+weights whose denoising trajectories are STRUCTURED — the precondition for
+step-cache / guidance-interval gates that actually separate configs
+(VERDICT r4 #3: on random weights every approximation gates at ~92 dB).
+
+Deterministic: no RNG anywhere, so the committed checkpoint's provenance
+is exactly reproducible from this file.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: (prompt, builder) — builders return float32 (H, W, 3) in [-1, 1]
+_PATTERNS = None
+
+
+def _build_patterns():
+    def norm(img):
+        return (img * 2.0 - 1.0).astype(np.float32)
+
+    def checker(h, w, cell, c0, c1):
+        yy, xx = np.mgrid[0:h, 0:w]
+        m = ((yy // cell + xx // cell) % 2).astype(np.float32)[..., None]
+        return norm(m * np.asarray(c1) + (1 - m) * np.asarray(c0))
+
+    def gradient(h, w, axis, c0, c1):
+        t = np.linspace(0.0, 1.0, h if axis == 0 else w, dtype=np.float32)
+        t = t[:, None, None] if axis == 0 else t[None, :, None]
+        t = np.broadcast_to(t, (h, w, 1))
+        return norm(t * np.asarray(c1) + (1 - t) * np.asarray(c0))
+
+    def circle(h, w, c_in, c_out):
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = np.sqrt((yy - h / 2 + 0.5) ** 2 + (xx - w / 2 + 0.5) ** 2)
+        m = (r <= h * 0.3).astype(np.float32)[..., None]
+        return norm(m * np.asarray(c_in) + (1 - m) * np.asarray(c_out))
+
+    def stripes(h, w, period, diag, c0, c1):
+        yy, xx = np.mgrid[0:h, 0:w]
+        phase = (yy + xx) if diag else xx
+        m = ((phase // period) % 2).astype(np.float32)[..., None]
+        return norm(m * np.asarray(c1) + (1 - m) * np.asarray(c0))
+
+    def border(h, w, t, c_in, c_edge):
+        img = np.ones((h, w, 3), np.float32) * np.asarray(c_in)
+        img[:t], img[-t:], img[:, :t], img[:, -t:] = [np.asarray(c_edge)] * 4
+        return norm(img)
+
+    R, G, B = (1, 0.2, 0.2), (0.2, 1, 0.2), (0.2, 0.2, 1)
+    Y, K, W = (1, 1, 0.2), (0.05, 0.05, 0.05), (0.95, 0.95, 0.95)
+    return [
+        ("a red and black checkerboard",
+         lambda h, w: checker(h, w, max(h // 8, 1), K, R)),
+        ("a coarse blue and white checkerboard",
+         lambda h, w: checker(h, w, max(h // 4, 1), W, B)),
+        ("a horizontal green gradient",
+         lambda h, w: gradient(h, w, 1, K, G)),
+        ("a vertical yellow gradient",
+         lambda h, w: gradient(h, w, 0, K, Y)),
+        ("a blue circle on white",
+         lambda h, w: circle(h, w, B, W)),
+        ("vertical red stripes",
+         lambda h, w: stripes(h, w, max(h // 8, 1), False, K, R)),
+        ("diagonal green stripes",
+         lambda h, w: stripes(h, w, max(h // 8, 1), True, K, G)),
+        ("a yellow square with a blue border",
+         lambda h, w: border(h, w, max(h // 8, 1), Y, B)),
+    ]
+
+
+def make_structured_dataset(size: int = 32):
+    """-> (images float32 (8, size, size, 3) in [-1, 1], prompts list[str])."""
+    global _PATTERNS
+    if _PATTERNS is None:
+        _PATTERNS = _build_patterns()
+    prompts = [p for p, _ in _PATTERNS]
+    images = np.stack([f(size, size) for _, f in _PATTERNS])
+    return images, prompts

@@ -55,7 +55,10 @@ def _stage(report: dict, name: str):
                 self.entry["status"] = "error"
                 self.entry["error"] = f"{et.__name__}: {str(ev)[:300]}"
                 logger.exception("validate stage %r failed", name)
-            return True  # stages are independent — never abort the run
+            # stages are independent — swallow stage Exceptions and keep
+            # the run going, but NEVER KeyboardInterrupt/SystemExit (Ctrl-C
+            # must abort the whole validation, not log a stage 'error')
+            return ev is None or isinstance(ev, Exception)
     return _Ctx()
 
 

@@ -295,10 +295,20 @@ def test_walk_job_cancel(served):
             break
         time.sleep(0.5)
     assert job["status"] == "cancelled", job
-    # no half-written container left claiming completion
+    # the FINAL video must not exist, and no half-written container may be
+    # left claiming completion.  A complete per-clip mp4 MAY legitimately
+    # exist (the family-best batch default can finish clip 0 in a single
+    # dispatch before the cancel lands; resume skips such clips) — any
+    # survivor must probe as a valid container, not a truncated one.
     import pathlib
+
+    from stable_diffusion_videos_tpu.media.video import probe_video
     run = pathlib.Path(server.output_root) / "cancel_run" / "tokill"
-    assert not list(run.glob("**/*.mp4")) and not list(run.glob("**/*.avi"))
+    assert not (run / "tokill.mp4").exists()
+    assert not (run / "tokill.avi").exists()
+    for clip in list(run.glob("*/*.mp4")) + list(run.glob("*/*.avi")):
+        info = probe_video(clip)
+        assert info["width"] > 0, f"half-written container {clip}: {info}"
     # a cancelled job cannot be re-cancelled
     status, _ = _req(host, port, "DELETE", f"/jobs/{job_id}")
     assert status == 409
