@@ -71,6 +71,13 @@ def _add_common(ap):
                     help="DeepCache acceleration: recompute the deep UNet "
                          "trunk every K steps (approximate; ~1.4-1.7x at "
                          "K=2-3, see docs/performance.md)")
+    ap.add_argument("--step-cache-policy", choices=("uniform", "ends"),
+                    default="uniform",
+                    help="full-trunk placement for --step-cache: 'uniform' "
+                         "= every K-th step; 'ends' = same budget, "
+                         "concentrated at the schedule boundaries where "
+                         "deep features change fastest (non-uniform "
+                         "DeepCache)")
     ap.add_argument("--lora", action="append", default=None,
                     metavar="PATH[:SCALE]",
                     help="kohya/diffusers LoRA .safetensors (or trainer "
@@ -109,6 +116,8 @@ def _pipeline(args):
     kw = dict(scheduler=args.scheduler,
               fast=getattr(args, "fast", False),
               step_cache=getattr(args, "step_cache", None),
+              step_cache_policy=getattr(args, "step_cache_policy",
+                                        "uniform"),
               guidance_rescale=getattr(args, "guidance_rescale", 0.0),
               prompt_weighting=getattr(args, "prompt_weighting", False))
     gi = getattr(args, "guidance_interval", None)

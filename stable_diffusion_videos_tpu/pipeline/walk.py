@@ -97,6 +97,7 @@ class StableDiffusionWalkPipeline:
                  fast: bool = False,
                  step_cache: Optional[int] = None,
                  step_cache_split: int = 1,
+                 step_cache_policy: str = "uniform",
                  guidance_rescale: float = 0.0,
                  guidance_interval=None,
                  prompt_weighting: bool = False,
@@ -158,6 +159,7 @@ class StableDiffusionWalkPipeline:
                              batch_bucket=batch_bucket,
                              step_cache=step_cache,
                              step_cache_split=step_cache_split,
+                             step_cache_policy=step_cache_policy,
                              guidance_rescale=guidance_rescale,
                              guidance_interval=guidance_interval,
                              controlnet=controlnet, ip_adapter=ip_adapter)

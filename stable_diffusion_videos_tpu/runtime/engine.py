@@ -73,6 +73,7 @@ class Engine:
                  spatial_shard: bool = False,
                  step_cache: Optional[int] = None,
                  step_cache_split: int = 1,
+                 step_cache_policy: str = "uniform",
                  guidance_rescale: float = 0.0,
                  guidance_interval: Optional[tuple] = None,
                  controlnet=None, ip_adapter=None):
@@ -122,6 +123,17 @@ class Engine:
             raise ValueError("step_cache must be >= 1 (None = off)")
         self.step_cache = step_cache
         self.step_cache_split = step_cache_split
+        #: full-trunk step PLACEMENT: "uniform" recomputes every k-th step;
+        #: "ends" keeps the SAME full-trunk budget (ceil(n/k) recomputes per
+        #: segment) but concentrates them at the segment boundaries — deep
+        #: features change fastest at the high-noise start and the
+        #: fine-detail end of the schedule, slowest mid-schedule (the
+        #: DeepCache paper's non-uniform 1/sqrt-center sampling, Ma et al.
+        #: 2023 §4.2) — so mid-schedule splices stretch further at equal
+        #: FLOPs
+        if step_cache_policy not in ("uniform", "ends"):
+            raise ValueError("step_cache_policy must be 'uniform' or 'ends'")
+        self.step_cache_policy = step_cache_policy
         #: std-rescaled CFG (Lin et al. 2024; see ``apply_guidance``) —
         #: 0.0 = plain CFG, 0.7 = the paper's setting for zero-SNR models
         if not 0.0 <= guidance_rescale <= 1.0:
@@ -364,6 +376,37 @@ class Engine:
         segs = [(0, i0, False), (i0, i1, True), (i1, n_loop, False)]
         return [(a, b, c) for a, b, c in segs if b > a]
 
+    @staticmethod
+    def _full_trunk_mask(segments, n_loop: int, k: int) -> "np.ndarray":
+        """Boolean (n_loop,) mask of full-trunk steps for the "ends" policy.
+
+        Budget matches uniform-k exactly — ceil(len/k) recomputes per
+        guidance segment — but positions are warped toward the segment
+        boundaries with f(u) = u - sin(2*pi*u)/(2*pi): point density is
+        proportional to 1/f'(u) = 1/(1 - cos(2*pi*u)), i.e. dense at both
+        ends, sparse mid-segment.  The segment's first step is always full
+        (f(0) = 0), which the per-segment deep-carry init relies on."""
+        import numpy as np
+        mask = np.zeros(n_loop, bool)
+        for a, b, _cfg in segments:
+            ln = b - a
+            m = -(-ln // k)
+            if m >= ln:
+                mask[a:b] = True
+                continue
+            u = np.linspace(0.0, 1.0, m, endpoint=False)
+            warped = u - np.sin(2.0 * np.pi * u) / (2.0 * np.pi)
+            idx = set(np.minimum(a + np.floor(warped * ln).astype(int),
+                                 b - 1).tolist())
+            # rounding collisions: top back up to the budget with the
+            # unused indices nearest a segment end (where density belongs)
+            spare = sorted((i for i in range(a, b) if i not in idx),
+                           key=lambda i: min(i - a, b - 1 - i))
+            for i in spare[:m - len(idx)]:
+                idx.add(i)
+            mask[sorted(idx)] = True
+        return mask
+
     def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int,
                out_u8: bool = False, with_ctrl: bool = False,
                guess_mode: bool = False, sched=None):
@@ -390,7 +433,7 @@ class Engine:
                              "inject residuals into")
 
         def body(params, context, added, ctrl, guidance, tables, carry, i,
-                 cfg=True, seg_start=0):
+                 cfg=True, seg_start=0, full_mask=None):
             # ``cfg`` is STATIC: False compiles a cond-only step (half the
             # UNet batch) for loop segments outside self.guidance_interval.
             # ``seg_start`` is the segment's first loop index: the step-cache
@@ -464,9 +507,13 @@ class Engine:
                                   **ip_kw)
 
             if cache_k:
-                # full trunk every cache_k steps; shallow splice in between
+                # full trunk on predicate steps; shallow splice in between.
+                # uniform: every cache_k-th step of the segment; "ends":
+                # the precomputed boundary-dense mask (same budget)
+                pred = (full_mask[i] if full_mask is not None
+                        else (i - seg_start) % cache_k == 0)
                 eps, deep = jax.lax.cond(
-                    (i - seg_start) % cache_k == 0,
+                    pred,
                     lambda _: call_unet(None),
                     lambda _: call_unet(deep), None)
             else:
@@ -497,8 +544,14 @@ class Engine:
             lat = latents * sched.init_noise_sigma(tables)
             state = sched.init_state(tables, latents.shape, key=key)
             n_loop = sched.num_loop_steps(tables)
+            segments = self._interval_segments(n_loop)
+            full_mask = None
+            if cache_k and self.step_cache_policy == "ends":
+                import numpy as _np
+                full_mask = jnp.asarray(_np.asarray(
+                    self._full_trunk_mask(segments, n_loop, cache_k)))
             carry = (lat, state)
-            for a, b, cfg_on in self._interval_segments(n_loop):
+            for a, b, cfg_on in segments:
                 if cache_k:
                     # per-segment deep carry: 2B rows for CFG segments, B
                     # for cond-only; the segment-relative predicate in
@@ -515,7 +568,8 @@ class Engine:
                 carry, _ = jax.lax.scan(
                     lambda c, i, _cfg=cfg_on, _a=a: (
                         body(params, context, added, ctrl, guidance,
-                             tables, c, i, cfg=_cfg, seg_start=_a),
+                             tables, c, i, cfg=_cfg, seg_start=_a,
+                             full_mask=full_mask),
                         None),
                     carry, jnp.arange(a, b))
                 carry = (carry[0], carry[1])

@@ -15,6 +15,9 @@ Endpoints:
     body: {video (base64) | video_path (relative), prompt, strength?,
            name?, fps?, frame_skip?, max_frames?, ... see VID2VID_KWARGS})
 * ``POST /img2img`` / ``POST /inpaint`` -> {images: [base64 PNG]}
+* ``POST /warmup``            -> {schedulers: {name: secs}, ...} (sync) or
+    {job_id} with ``async: true`` — precompiles denoise programs so the
+    first real request is served at steady-state latency
 * ``GET  /jobs/<id>``         -> {status: queued|running|cancelling|
                                   cancelled|done|error, progress?: {clip,
                                   clips_total, frames_done, frames_total},
@@ -275,6 +278,80 @@ class Server:
         return {"images": [base64.b64encode(buf.getvalue()).decode()],
                 "format": "png;base64"}
 
+    #: /warmup body allowlist
+    WARMUP_KWARGS = frozenset({
+        "num_inference_steps", "height", "width", "batches", "schedulers",
+        "scheduler", "output_dtypes", "async",
+    })
+
+    def _handle_warmup(self, body: dict):
+        """Precompile the denoise program(s) so the FIRST real request is
+        served at steady-state latency (cold-start elimination).
+
+        body: {num_inference_steps?, height?, width?, batches?: [int|null],
+               scheduler? | schedulers?: [name], output_dtypes?: [str],
+               async?: bool}
+
+        Synchronous by default (the reply carries per-scheduler compile
+        seconds); pass ``async: true`` to get a job_id instead — on a cold
+        TPU a 50-step program compile is minutes, longer than most LB
+        timeouts.  Programs are cached per (sampler, shape) so a prewarmed
+        sampler stays hot across ``set_scheduler`` switches.
+        """
+        unknown = sorted(set(body) - self.WARMUP_KWARGS)
+        if unknown:
+            raise ValueError(f"unknown warmup parameters: {unknown} "
+                             f"(allowed: {sorted(self.WARMUP_KWARGS)})")
+        eng = self.pipeline.engine
+        schedulers = body.get("schedulers") or (
+            [body["scheduler"]] if body.get("scheduler")
+            else [eng.scheduler_name])
+        if len(schedulers) > 8:
+            raise ValueError("at most 8 schedulers per warmup call")
+        from ..core.schedulers import get_scheduler
+        for s in schedulers:
+            try:
+                get_scheduler(s)  # unknown name -> 400 before any compile
+            except KeyError as e:
+                raise ValueError(str(e.args[0] if e.args else e)) from e
+        batches = body.get("batches") or [None]
+        if len(batches) > 4:
+            raise ValueError("at most 4 batch shapes per warmup call")
+        batches = tuple(
+            None if b is None else max(1, min(int(b), self.MAX_COUNT))
+            for b in batches)
+        dtypes = body.get("output_dtypes") or ["float32"]
+        if not set(dtypes) <= {"float32", "uint8"}:
+            raise ValueError("output_dtypes entries must be float32|uint8")
+        steps = self._steps(body)
+        height = self._side(body, "height")
+        width = self._side(body, "width")
+
+        def run():
+            report: dict = {"schedulers": {}}
+            with self.dispatch_lock:
+                orig = eng.scheduler_name
+                try:
+                    for name in schedulers:
+                        eng.set_scheduler(name)
+                        secs = 0.0
+                        for dt in dtypes:
+                            secs += eng.warmup(
+                                num_inference_steps=steps, height=height,
+                                width=width, batches=batches,
+                                output_dtype=dt)
+                        report["schedulers"][name] = round(secs, 3)
+                finally:
+                    eng.set_scheduler(orig)
+            report["compiled_programs"] = len(eng._compiled)
+            report["num_inference_steps"] = steps
+            report["batches"] = [b or eng.batch_bucket for b in batches]
+            return report
+
+        if body.get("async"):
+            return {"job_id": self.jobs.submit(run)}
+        return run()
+
     def _handle_walk(self, body: dict):
         unknown = sorted(set(body) - self.WALK_KWARGS)
         if unknown:
@@ -457,6 +534,10 @@ class Server:
                     if self.path == "/inpaint":
                         return self._reply(
                             200, server_self._handle_inpaint(body))
+                    if self.path == "/warmup":
+                        out = server_self._handle_warmup(body)
+                        return self._reply(202 if "job_id" in out else 200,
+                                           out)
                     if self.path == "/walk":
                         return self._reply(202, server_self._handle_walk(body))
                     if self.path == "/vid2vid":

@@ -178,6 +178,26 @@ def run_validation(checkpoint: str, output_dir: str = "./validate_out",
             frames = eng.denoise_frames(cond, uncond, noise, **kw)
             st["curve"][f"k{k}"] = quality_vs_exact(
                 frames, exact, lpips_weights=lpips_weights)
+        # the fast-preset composite (what fast=True actually ships) and its
+        # non-uniform variant, gated on THESE weights
+        for label, ekw in (
+                ("fast_preset", dict(step_cache=3,
+                                     guidance_interval=(0.1, 0.85))),
+                ("fast_ends", dict(step_cache=3, step_cache_policy="ends",
+                                   guidance_interval=(0.1, 0.85)))):
+            eng = Engine(pipe.models, mesh=pipe.engine.mesh,
+                         scheduler=pipe.engine.scheduler_name, **ekw)
+            frames = eng.denoise_frames(cond, uncond, noise, **kw)
+            st["curve"][label] = quality_vs_exact(
+                frames, exact, lpips_weights=lpips_weights)
+        # a saturated curve (every config pinned at the same PSNR) means
+        # the gate measured plumbing, not quality — flag it (random-weight
+        # caveat, VERDICT r4)
+        psnrs = [c.get("psnr_mean") for c in st["curve"].values()
+                 if c.get("psnr_mean") is not None]
+        if len(psnrs) >= 2:
+            st["psnr_spread_db"] = round(max(psnrs) - min(psnrs), 2)
+            st["saturated"] = bool(st["psnr_spread_db"] < 3.0)
 
     # ---- 6. Real-ESRGAN upsample demo --------------------------------
     if upsample_weights:

@@ -318,3 +318,54 @@ def test_cancel_unknown_and_done_jobs(served):
     host, port, _ = served
     assert _req(host, port, "DELETE", "/jobs/zzz")[0] == 404
     assert _req(host, port, "DELETE", "/nope")[0] == 404
+
+
+def test_warmup_sync(served):
+    """POST /warmup precompiles programs for the requested samplers; a
+    subsequent /generate under a prewarmed sampler hits the program cache
+    (VERDICT r4 #9 — serving cold-start elimination)."""
+    host, port, server = served
+    eng = server.pipeline.engine
+    before = len(eng._compiled)
+    orig = eng.scheduler_name
+    status, body = _req(host, port, "POST", "/warmup", {
+        "num_inference_steps": 2, "schedulers": ["pndm", "ddim"],
+        "batches": [2]})
+    assert status == 200, body
+    assert set(body["schedulers"]) == {"pndm", "ddim"}
+    assert all(s >= 0 for s in body["schedulers"].values())
+    assert body["compiled_programs"] > before
+    assert eng.scheduler_name == orig  # warmup restored the sampler
+    # a /generate at the warmed shape must not add a program
+    warmed = len(eng._compiled)
+    status, body = _req(host, port, "POST", "/generate", {
+        "prompt": "warm", "num_inference_steps": 2, "count": 2})
+    assert status == 200
+    assert len(eng._compiled) == warmed
+
+
+def test_warmup_validation(served):
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/warmup",
+                        {"schedulers": ["nope"]})
+    assert status == 400 and "nope" in body["error"]
+    status, body = _req(host, port, "POST", "/warmup", {"bogus": 1})
+    assert status == 400 and "bogus" in body["error"]
+    status, body = _req(host, port, "POST", "/warmup",
+                        {"output_dtypes": ["float64"]})
+    assert status == 400
+
+
+def test_warmup_async(served):
+    host, port, _ = served
+    status, body = _req(host, port, "POST", "/warmup", {
+        "num_inference_steps": 2, "batches": [1], "async": True})
+    assert status == 202 and "job_id" in body
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        status, job = _req(host, port, "GET", f"/jobs/{body['job_id']}")
+        if job["status"] in ("done", "error"):
+            break
+        time.sleep(0.2)
+    assert job["status"] == "done", job
+    assert "schedulers" in job["result"]

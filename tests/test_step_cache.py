@@ -153,3 +153,59 @@ def test_pipeline_walk_with_step_cache(tmp_path):
                     batch_size=2)
     from pathlib import Path
     assert Path(out).exists() and Path(out).stat().st_size > 1000
+
+
+# ---------------------------------------------------------------------------
+# non-uniform ("ends") full-trunk placement — VERDICT r4 #4
+# ---------------------------------------------------------------------------
+def test_full_trunk_mask_budget_and_boundaries():
+    """'ends' spends EXACTLY the uniform budget (ceil(len/k) per segment),
+    always recomputes the segment's first step, and is denser at the
+    boundaries than mid-segment."""
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    for n, k in ((50, 3), (50, 4), (25, 3), (7, 2), (4, 5)):
+        segs = [(0, n, True)]
+        mask = Engine._full_trunk_mask(segs, n, k)
+        assert mask.sum() == min(-(-n // k), n), (n, k, mask.sum())
+        assert mask[0], (n, k)
+    # multi-segment (guidance_interval): each segment re-opens with a full
+    # step and carries its own budget
+    segs = [(0, 5, False), (5, 42, True), (42, 50, False)]
+    mask = Engine._full_trunk_mask(segs, 50, 3)
+    for a, b, _ in segs:
+        assert mask[a]
+        assert mask[a:b].sum() == -(-(b - a) // 3)
+    # density: with n=50, k=4 the largest gap between consecutive full
+    # steps sits mid-schedule, not at the ends
+    m = Engine._full_trunk_mask([(0, 50, True)], 50, 4)
+    idx = np.flatnonzero(m)
+    gaps = np.diff(idx)
+    mid = len(gaps) // 2
+    assert gaps[mid] >= gaps[0] and gaps[mid] >= gaps[-1], (idx, gaps)
+
+
+def test_engine_step_cache_ends_policy(models):
+    """policy='ends' runs, approximates (k>1), and matches exact at k=1."""
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    rng = np.random.default_rng(3)
+    cond = jnp.asarray(rng.standard_normal((2, 7, 32)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+
+    def run(**kw):
+        eng = Engine(models, scheduler="ddim", **kw)
+        return eng.denoise_frames(cond, cond[:1], noise,
+                                  num_inference_steps=8)
+
+    exact = run()
+    e1 = run(step_cache=1, step_cache_policy="ends")
+    np.testing.assert_allclose(e1, exact, atol=1e-5, rtol=1e-5)
+    e3 = run(step_cache=3, step_cache_policy="ends")
+    assert np.isfinite(e3).all() and not np.array_equal(e3, exact)
+    rel = np.linalg.norm(e3 - exact) / np.linalg.norm(exact)
+    assert rel < 0.5
+    # composes with guidance_interval (per-segment masks)
+    c = run(step_cache=3, step_cache_policy="ends",
+            guidance_interval=(0.1, 0.85))
+    assert np.isfinite(c).all()
+    with pytest.raises(ValueError):
+        run(step_cache=3, step_cache_policy="nope")

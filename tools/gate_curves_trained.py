@@ -80,6 +80,8 @@ def main():
                              np.asarray(vs, np.float32))
         report["configs"][name] = g
         print(name, json.dumps(g), flush=True)
+        with open(OUT, "w") as f:  # incremental: a crash keeps the partial
+            json.dump(report, f, indent=1)
 
     for k in (2, 3, 4):
         gate(f"step_cache={k}", run(step_cache=k))
@@ -89,6 +91,13 @@ def main():
          run(step_cache=3, guidance_interval=(0.1, 0.85)))
     gate("k=4 x (0.1,0.85)",
          run(step_cache=4, guidance_interval=(0.1, 0.85)))
+    # non-uniform DeepCache: same budget, boundary-dense placement
+    for k in (3, 4, 5):
+        gate(f"step_cache={k},ends",
+             run(step_cache=k, step_cache_policy="ends"))
+    gate("k=4 ends x (0.1,0.85)",
+         run(step_cache=4, step_cache_policy="ends",
+             guidance_interval=(0.1, 0.85)))
 
     import dataclasses
     tome_models = models.with_tome(0.3)
@@ -102,9 +111,21 @@ def main():
     dpm50 = run(scheduler="dpm")
     for s in (25, 20):
         gate(f"dpm{s}_vs_dpm50", run(scheduler="dpm", steps=s), vs=dpm50)
+    # dpm-25 composites: can the approximation levers stack on the
+    # few-step operating point without falling off the quality cliff?
+    gate("dpm25+k2_vs_dpm50",
+         run(scheduler="dpm", steps=25, step_cache=2), vs=dpm50)
+    gate("dpm25+k2ends_vs_dpm50",
+         run(scheduler="dpm", steps=25, step_cache=2,
+             step_cache_policy="ends"), vs=dpm50)
+    gate("dpm25+k3_vs_dpm50",
+         run(scheduler="dpm", steps=25, step_cache=3), vs=dpm50)
+    gate("dpm25+k2+gi_vs_dpm50",
+         run(scheduler="dpm", steps=25, step_cache=2,
+             guidance_interval=(0.1, 0.85)), vs=dpm50)
 
     # separation check: the gate is only evidence if configs differ
-    psnrs = {k: v["psnr_db"] for k, v in report["configs"].items()}
+    psnrs = {k: v["psnr_mean"] for k, v in report["configs"].items()}
     spread = max(psnrs.values()) - min(psnrs.values())
     report["psnr_spread_db"] = round(spread, 2)
     report["saturated"] = bool(spread < 3.0)

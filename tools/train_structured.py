@@ -129,8 +129,7 @@ def main():
         if (i + 1) % 2000 == 0:
             # sample-check: fresh engine on the CURRENT weights
             m = dataclasses.replace(
-                models, params={**models.params,
-                                "unet": ut.export_params()})
+                models, params=ut.export_params())  # full dict, unet swapped
             eng = Engine(m, scheduler="ddim", batch_bucket=n)
             noise = jnp.asarray(rng.standard_normal(
                 (n, SIZE // 2, SIZE // 2, 4), np.float32))
@@ -148,8 +147,8 @@ def main():
             print(f"unet step {i+1} loss {loss:.5f} ident {acc:.2f} "
                   f"psnr {np.mean(psnr):.2f} dB", flush=True)
             if best is None or (acc, np.mean(psnr)) >= best[:2]:
-                best = (acc, float(np.mean(psnr)), ut.export_params(),
-                        samples)
+                best = (acc, float(np.mean(psnr)),
+                        ut.export_params()["unet"], samples)
             if acc == 1.0 and i + 1 >= 8000:
                 break
     acc, mean_psnr, unet_params, samples = best
