@@ -1,0 +1,180 @@
+"""Distill the committed quality-gate teacher into an LCM student (r5).
+
+Loads ``tests/goldens/structured_bundle`` (the trained teacher,
+tools/train_structured.py), runs LCM consistency distillation
+(``training/lcm_distill.py``, fixed w = the teacher's gate guidance 3.0),
+and gates the student's 2/4/8-step ``scheduler="lcm"`` samples against the
+TEACHER's 50-step dpm samples on identical prompts/noise:
+
+  - identification accuracy (does each few-step sample still reproduce its
+    training pattern?) — the hard gate,
+  - SSIM/PSNR vs the teacher samples — the separation evidence
+    (appended to tools/gate_trained_r05.json as lcmN_vs_teacher_dpm50).
+
+Outputs (committed):
+  - tests/goldens/structured_lcm_bundle/ — the distilled student
+  - tools/distill_lcm_r05.json — losses / gates / identification
+
+Run:  python tools/distill_lcm.py   (TPU ~minutes; SDV_TRAIN_CPU=1 forces
+CPU)
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+if os.environ.get("SDV_TRAIN_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+else:
+    try:
+        jax.devices()
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TEACHER = os.path.join(REPO, "tests", "goldens", "structured_bundle")
+OUT_BUNDLE = os.path.join(REPO, "tests", "goldens", "structured_lcm_bundle")
+OUT_JSON = os.path.join(REPO, "tools", "distill_lcm_r05.json")
+GATE_JSON = os.path.join(REPO, "tools", "gate_trained_r05.json")
+
+GUIDANCE = 3.0           # must match the teacher's gate guidance
+MAX_STEPS = int(os.environ.get("SDV_DISTILL_STEPS", "12000"))
+EVAL_EVERY = 1000
+
+
+def identify(samples: np.ndarray, images: np.ndarray):
+    s = samples.reshape(len(samples), -1)
+    t = images.reshape(len(images), -1)
+    s = s - s.mean(1, keepdims=True)
+    t = t - t.mean(1, keepdims=True)
+    corr = (s @ t.T) / (np.linalg.norm(s, axis=1)[:, None]
+                        * np.linalg.norm(t, axis=1)[None] + 1e-9)
+    return corr.argmax(1)
+
+
+def main():
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    from stable_diffusion_videos_tpu.training import (LCMDistillConfig,
+                                                      LCMDistiller,
+                                                      make_structured_dataset)
+    from stable_diffusion_videos_tpu.utils.metrics import quality_vs_exact
+
+    t_start = time.time()
+    models = SDModels.load(TEACHER)
+    images, prompts = make_structured_dataset(32)
+    n = len(prompts)
+    h = models.unet_config.sample_size
+
+    # clean latents + contexts
+    vae = models.vae()
+    mean, _ = vae.apply(models.params["vae"], jnp.asarray(images),
+                        method=type(vae).encode)
+    latents = np.asarray(mean) * models.vae_config.scaling_factor
+    eng0 = Engine(models, scheduler="dpm", batch_bucket=n)
+    context = np.asarray(eng0.embed_text(prompts))
+    uncond = np.asarray(eng0.embed_text(""))
+
+    # teacher reference: dpm-50 CFG samples (the SAME reference the
+    # dpm25/k2ends gates in gate_trained_r05.json are measured against)
+    noise = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (n, h, h, 4), np.float32))
+    key = jax.random.PRNGKey(0)
+    teacher_frames = np.asarray(eng0.denoise_frames(
+        jnp.asarray(context), jnp.asarray(uncond), noise,
+        num_inference_steps=50, guidance_scale=GUIDANCE, key=key))
+    ids_t = identify(teacher_frames * 2 - 1, images)
+    print("teacher ident:", (ids_t == np.arange(n)).mean(), flush=True)
+
+    dist = LCMDistiller(models, config=LCMDistillConfig(
+        guidance_scale=GUIDANCE))
+    report = {"teacher": TEACHER, "backend": jax.default_backend(),
+              "guidance_baked": GUIDANCE,
+              "config": {"lr": dist.config.learning_rate,
+                         "ema_decay": dist.config.ema_decay,
+                         "huber_c": dist.config.huber_c,
+                         "original_inference_steps":
+                         dist.config.original_inference_steps},
+              "log": []}
+
+    def sample_student(steps, m):
+        eng = Engine(m, scheduler="lcm", batch_bucket=n,
+                     guidance_interval=(0.0, 0.0))  # cond-only program
+        return np.asarray(eng.denoise_frames(
+            jnp.asarray(context), jnp.asarray(uncond), noise,
+            num_inference_steps=steps, guidance_scale=1.0, key=key))
+
+    best = None
+    for i in range(MAX_STEPS):
+        loss = dist.step(latents, context, uncond,
+                         key=jax.random.PRNGKey(1000 + i))
+        if (i + 1) % EVAL_EVERY == 0:
+            m = dataclasses.replace(models, params=dist.export_params())
+            frames4 = sample_student(4, m)
+            ids = identify(frames4 * 2 - 1, images)
+            acc = float((ids == np.arange(n)).mean())
+            g = quality_vs_exact(frames4.astype(np.float32),
+                                 teacher_frames.astype(np.float32))
+            entry = {"step": i + 1, "loss": round(loss, 5),
+                     "lcm4_ident_acc": acc,
+                     "lcm4_ssim_mean": g["ssim_mean"],
+                     "lcm4_psnr_mean": g["psnr_mean"]}
+            report["log"].append(entry)
+            print(json.dumps(entry), flush=True)
+            if best is None or (acc, g["ssim_mean"]) >= best[:2]:
+                best = (acc, g["ssim_mean"], dist.export_params())
+            if acc == 1.0 and g["ssim_mean"] >= 0.97 and i + 1 >= 4000:
+                break
+
+    acc, ssim, params = best
+    final = dataclasses.replace(models, params=params)
+    final.save(OUT_BUNDLE)
+    report["bundle"] = OUT_BUNDLE
+    report["best"] = {"ident_acc": acc, "ssim_mean": ssim}
+
+    # final gates at 2/4/8 steps vs the teacher's dpm-50
+    gates = {}
+    for s in (8, 4, 2):
+        frames = sample_student(s, final)
+        g = quality_vs_exact(frames.astype(np.float32),
+                             teacher_frames.astype(np.float32))
+        g["ident_acc"] = float(
+            (identify(frames * 2 - 1, images) == np.arange(n)).mean())
+        gates[f"lcm{s}_vs_teacher_dpm50"] = g
+        print(f"lcm{s}", json.dumps(g), flush=True)
+    report["gates"] = gates
+    report["wall_s"] = round(time.time() - t_start, 1)
+    with open(OUT_JSON, "w") as f:
+        json.dump(report, f, indent=1)
+
+    # splice the gates into the round's trained-gate table (bench.py reads
+    # trained_quality_gate entries from there)
+    try:
+        with open(GATE_JSON) as f:
+            gate_all = json.load(f)
+        gate_all["configs"].update(gates)
+        psnrs = {k: v["psnr_mean"] for k, v in gate_all["configs"].items()}
+        gate_all["psnr_spread_db"] = round(
+            max(psnrs.values()) - min(psnrs.values()), 2)
+        gate_all["saturated"] = bool(gate_all["psnr_spread_db"] < 3.0)
+        with open(GATE_JSON, "w") as f:
+            json.dump(gate_all, f, indent=1)
+    except (OSError, KeyError, json.JSONDecodeError) as e:
+        report["gate_merge_error"] = str(e)
+    print("wrote", OUT_JSON)
+
+
+if __name__ == "__main__":
+    main()

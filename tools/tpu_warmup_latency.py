@@ -56,8 +56,12 @@ def _pipeline():
     from stable_diffusion_videos_tpu.pipeline import \
         StableDiffusionWalkPipeline
 
-    ucfg, vcfg, tcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1(), \
-        CLIPTextConfig.tiny()
+    ucfg, vcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1()
+    # /generate really embeds the prompt, so the text tower's hidden size
+    # must match the UNet's cross_attention_dim (768); keep it SHALLOW so
+    # the compile under test stays the denoise program, not CLIP
+    tcfg = CLIPTextConfig(hidden_size=768, intermediate_size=1536,
+                          num_layers=2, num_heads=12, vocab_size=1000)
     dtype = jnp.bfloat16
 
     def init_zeros(model, *args):
@@ -124,8 +128,10 @@ def main() -> None:
     server2 = Server(pipe2, max_batch=BATCH)
     host, port = server2.start(port=0)
     t0 = time.perf_counter()
+    # warm the batch the server actually dispatches: the batcher pads
+    # every request group to the engine's batch bucket (= max_batch)
     w = _request(host, port, "POST", "/warmup",
-                 {"num_inference_steps": STEPS, "batches": [1]})
+                 {"num_inference_steps": STEPS, "batches": [BATCH]})
     results["warmup_s"] = round(time.perf_counter() - t0, 1)
     print("warmup:", results["warmup_s"], "s", w, flush=True)
     t0 = time.perf_counter()
