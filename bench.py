@@ -422,10 +422,70 @@ def main():
             print(f"# few-step measurement failed ({type(e).__name__}: "
                   f"{str(e)[:200]}); omitting", file=sys.stderr, flush=True)
 
-    # headline = the best quality-gated record (fast composite or few-step
-    # production config); exact rides in detail and is the fallback
-    # headline when both gated measurements failed
+    # ---- distilled record: LCM consistency sampling, 4 cond-only steps --
+    # The operating point LCM checkpoints run at (LCM-Dreamshaper /
+    # LCM-LoRA load via models/lora_file.py; training/lcm_distill.py MAKES
+    # them).  No CFG pair and 4 steps: the speed is measured here on
+    # FLOP-identical random weights; the QUALITY evidence is the trained
+    # distillation gate (tools/distill_lcm.py: the committed structured
+    # teacher distilled and its lcm-4 samples gated vs the teacher's
+    # dpm-50 CFG samples — lcm4_vs_teacher_dpm50 in gate_trained_r05.json).
+    # A random-weight pixel gate would be meaningless for a DIFFERENT
+    # MODEL CLASS, so this record is headline-eligible only when the
+    # trained gate shows the distillation actually preserves content
+    # (ident_acc == 1.0, SSIM >= 0.9).
+    lcm_rec = None
+    if on_tpu or os.environ.get("SDV_BENCH_LCM_CPU") == "1":
+        try:
+            lcm_steps = int(os.environ.get("SDV_LCM_STEPS", "4"))
+            lcm_batch = int(os.environ.get("SDV_LCM_BATCH", "8")) \
+                if on_tpu else batch
+            l_cond = jnp.asarray(rng.standard_normal(
+                (lcm_batch, 77, ucfg.cross_attention_dim), np.float32))
+            l_noise = jnp.asarray(rng.standard_normal(
+                (lcm_batch, h, w, 4), np.float32))
+            eng_lcm = Engine(models, scheduler="lcm",
+                             batch_bucket=lcm_batch,
+                             guidance_interval=(0.0, 0.0))  # cond-only
+            ldt, ltimes, lcompile, _limgs = measure(
+                eng_lcm, l_cond, l_cond[:1], l_noise, n_steps=lcm_steps)
+            lcm_fps = lcm_batch / ldt / n_chips
+            s_scale = (side / 512.0) ** 2
+            implied_lcm = lcm_fps * (lcm_steps * UNET_FLOP_512 * s_scale
+                                     + VAE_FLOP_512 * s_scale)
+            lcm_rec = {
+                "metric": f"frames/sec/chip @ {side}x{side}, LCM "
+                          f"{lcm_steps} steps cond-only (distilled "
+                          f"checkpoint operating point), batch "
+                          f"{lcm_batch}, {jax.default_backend()}",
+                "value": round(lcm_fps, 4),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(lcm_fps / A100_BASELINE_FPS, 4),
+                "speedup_vs_exact_50step": round(lcm_fps / fps_chip, 3),
+                "trained_quality_gate": trained_gate(
+                    f"lcm{lcm_steps}_vs_teacher_dpm50"),
+                "seconds_per_dispatch": round(ldt, 3),
+                "dispatch_times_s": [round(t, 3) for t in ltimes],
+                "compile_plus_first_run_s": round(lcompile, 1),
+                "implied_tflops_per_chip": round(implied_lcm / 1e12, 1),
+            }
+            if on_tpu and implied_lcm > PEAK_FLOPS_GUARD:
+                print(f"# IMPLAUSIBLE lcm record ({implied_lcm/1e12:.0f} "
+                      f"TF/s); dropping", file=sys.stderr, flush=True)
+                lcm_rec = None
+        except Exception as e:  # noqa: BLE001 — optional record
+            print(f"# lcm measurement failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); omitting", file=sys.stderr, flush=True)
+
+    # headline = the best quality-gated record (fast composite, few-step
+    # production config, or — when its trained distillation gate holds —
+    # the LCM operating point); exact rides in detail and is the fallback
+    # headline when all gated measurements failed
     gated = [r for r in (fast_rec, few_rec) if r is not None]
+    if lcm_rec is not None:
+        tg = lcm_rec.get("trained_quality_gate") or {}
+        if tg.get("ident_acc") == 1.0 and tg.get("ssim_mean", 0.0) >= 0.9:
+            gated.append(lcm_rec)
     head = max(gated, key=lambda r: r["value"]) if gated else exact_rec
     result = {
         "metric": head["metric"],
@@ -436,6 +496,7 @@ def main():
             "exact": exact_rec,
             "fast": fast_rec,
             "fewstep": few_rec,
+            "distilled": lcm_rec,
             "chips": n_chips,
             "backend": jax.default_backend(),
             "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")

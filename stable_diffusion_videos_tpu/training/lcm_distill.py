@@ -224,10 +224,13 @@ class LCMDistiller:
 
     def export_params(self, ema: bool = True):
         """Full params dict with the distilled UNet (EMA target by default —
-        the network consistency models are sampled from)."""
+        the network consistency models are sampled from).  COPIES every
+        leaf: the distill step donates its param buffers, so a no-copy
+        view exported here would be deleted by the next ``step()``."""
         src = self.target_params if ema else self.params
         out = dict(self.models.params)
         out["unet"] = jax.tree.map(
-            lambda x: jnp.asarray(x, self.models.dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, src)
+            lambda x: jnp.array(x, self.models.dtype, copy=True)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.array(x, copy=True), src)
         return out

@@ -205,9 +205,14 @@ class UNetTrainer:
         src = self.ema_params if (ema and self.ema_params is not None) \
             else self.params
         out = dict(self.models.params)
+        # COPY every leaf: the train step donates its param buffers, so a
+        # same-dtype jnp.asarray view exported here would be deleted by
+        # the next step() (observed as "Array has been deleted" at
+        # bundle save time)
         out["unet"] = jax.tree.map(
-            lambda x: jnp.asarray(x, self.models.dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, src)
+            lambda x: jnp.array(x, self.models.dtype, copy=True)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.array(x, copy=True), src)
         return out
 
     # ------------------------------------------------------------------

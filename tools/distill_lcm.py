@@ -50,8 +50,9 @@ OUT_JSON = os.path.join(REPO, "tools", "distill_lcm_r05.json")
 GATE_JSON = os.path.join(REPO, "tools", "gate_trained_r05.json")
 
 GUIDANCE = 3.0           # must match the teacher's gate guidance
-MAX_STEPS = int(os.environ.get("SDV_DISTILL_STEPS", "12000"))
-EVAL_EVERY = 1000
+MAX_STEPS = int(os.environ.get("SDV_DISTILL_STEPS", "8000"))
+EVAL_EVERY = 500
+PATIENCE = 4             # evals without a new best before stopping
 
 
 def identify(samples: np.ndarray, images: np.ndarray):
@@ -116,7 +117,7 @@ def main():
             jnp.asarray(context), jnp.asarray(uncond), noise,
             num_inference_steps=steps, guidance_scale=1.0, key=key))
 
-    best = None
+    best, stale = None, 0
     for i in range(MAX_STEPS):
         loss = dist.step(latents, context, uncond,
                          key=jax.random.PRNGKey(1000 + i))
@@ -135,8 +136,13 @@ def main():
             print(json.dumps(entry), flush=True)
             if best is None or (acc, g["ssim_mean"]) >= best[:2]:
                 best = (acc, g["ssim_mean"], dist.export_params())
-            if acc == 1.0 and g["ssim_mean"] >= 0.97 and i + 1 >= 4000:
-                break
+                stale = 0
+            else:
+                stale += 1
+                # r5 measured: lcm-4 quality PEAKS early (~step 1000) then
+                # drifts — keep the best, stop when it stops improving
+                if stale >= PATIENCE:
+                    break
 
     acc, ssim, params = best
     final = dataclasses.replace(models, params=params)

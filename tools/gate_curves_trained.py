@@ -74,6 +74,15 @@ def main():
     report = {"backend": jax.default_backend(), "bundle": BUNDLE,
               "steps": STEPS, "guidance": GUIDANCE, "sampler": "pndm",
               "configs": {}}
+    # MERGE into an existing table (other tools append their own gates —
+    # e.g. distill_lcm.py's lcmN_vs_teacher_dpm50 — which a rerun of this
+    # sweep must not drop)
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                report["configs"] = json.load(f)["configs"]
+        except (OSError, KeyError, json.JSONDecodeError):
+            pass
 
     def gate(name, frames, vs=exact):
         g = quality_vs_exact(np.asarray(frames, np.float32),
@@ -97,6 +106,9 @@ def main():
              run(step_cache=k, step_cache_policy="ends"))
     gate("k=4 ends x (0.1,0.85)",
          run(step_cache=4, step_cache_policy="ends",
+             guidance_interval=(0.1, 0.85)))
+    gate("k=3 ends x (0.1,0.85)",
+         run(step_cache=3, step_cache_policy="ends",
              guidance_interval=(0.1, 0.85)))
 
     import dataclasses
