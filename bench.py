@@ -357,12 +357,13 @@ def main():
     # A different OPERATING POINT, not an approximation of the 50-step
     # schedule: 20-25 dpm-solver++ steps is standard production practice
     # for SD1.x.  Config chosen by the r5 on-chip sweep
-    # (tools/tpu_fewstep.py, probe_r05.json fewstep_sweep): dpm-25 x
-    # non-uniform DeepCache k=2 "ends" at batch 8 = 3.11 f/s/chip, the
-    # measured best among the quality-acceptable configs — and per the
-    # TRAINED-weight gates (gate_trained_r05.json) the second-cleanest
-    # few-step config overall (SSIM 0.974 / PSNR 40.1 vs dpm-50; only
-    # plain dpm-25 gates higher at 0.978/41.1 but delivers 2.47 f/s).
+    # (tools/tpu_fewstep.py, probe_r05.json fewstep_sweep): dpm-20 x
+    # non-uniform DeepCache k=2 "ends" at batch 8 = 3.85 f/s/chip, the
+    # measured best among the configs whose TRAINED-weight gate
+    # (gate_trained_r05.json) holds SSIM >= 0.95 vs dpm-50 (this one:
+    # 0.954 / 38.0 dB).  The quality-leaning alternative is dpm-25 x
+    # k=2-ends (SSIM 0.974 / 40.1 dB, 3.10 f/s — SDV_FEWSTEP_STEPS=25);
+    # plain dpm-25 gates cleanest of all (0.978) at 2.46 f/s.
     # Gated against dpm-50 on the identical inputs; the perceptual
     # evidence on non-random weights rides in trained_quality_gate.
     few_rec = None
@@ -370,7 +371,7 @@ def main():
         try:
             from stable_diffusion_videos_tpu.utils.metrics import \
                 quality_vs_exact
-            fs_steps = int(os.environ.get("SDV_FEWSTEP_STEPS", "25"))
+            fs_steps = int(os.environ.get("SDV_FEWSTEP_STEPS", "20"))
             fs_batch = int(os.environ.get("SDV_FEWSTEP_BATCH", "8")) \
                 if on_tpu else fast_batch
             fs_sc = int(os.environ.get("SDV_FEWSTEP_STEP_CACHE", "2"))

@@ -135,6 +135,9 @@ def main():
     gate("dpm25+k2+gi_vs_dpm50",
          run(scheduler="dpm", steps=25, step_cache=2,
              guidance_interval=(0.1, 0.85)), vs=dpm50)
+    gate("dpm20+k2ends_vs_dpm50",
+         run(scheduler="dpm", steps=20, step_cache=2,
+             step_cache_policy="ends"), vs=dpm50)
 
     # separation check: the gate is only evidence if configs differ
     psnrs = {k: v["psnr_mean"] for k, v in report["configs"].items()}

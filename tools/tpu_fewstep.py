@@ -113,6 +113,8 @@ def main() -> None:
         ("dpm25_b16_k2ends", dict(batch=16, steps=25, step_cache=2,
                                   step_cache_policy="ends")),
         ("dpm20_b8", dict(batch=8, steps=20)),
+        ("dpm20_b8_k2ends", dict(batch=8, steps=20, step_cache=2,
+                                 step_cache_policy="ends")),
     ]
     for name, kw in configs:
         try:
