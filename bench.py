@@ -226,6 +226,26 @@ def main():
             times.append(time.perf_counter() - t0)
         return sorted(times)[len(times) // 2], times, compile_s, imgs
 
+    def measure_retry(eng, cond, uncond, noise, n_runs=3, n_steps=None,
+                      attempts=2, wait_s=60.0):
+        """measure() with one retry on transient TPU failures (the axon
+        remote-compile service occasionally drops a response mid-body;
+        observed killing the r5 fast record) — OOM is not retried here,
+        the optional records just get omitted."""
+        for a in range(attempts):
+            try:
+                return measure(eng, cond, uncond, noise, n_runs=n_runs,
+                               n_steps=n_steps)
+            except Exception as e:  # noqa: BLE001 — classified below
+                oom = isinstance(e, jax.errors.JaxRuntimeError) and \
+                    "RESOURCE_EXHAUSTED" in str(e)
+                if oom or not on_tpu or a + 1 >= attempts:
+                    raise
+                print(f"# transient failure in optional record "
+                      f"({type(e).__name__}: {str(e)[:160]}); retrying "
+                      f"in {wait_s:.0f}s", file=sys.stderr, flush=True)
+                time.sleep(wait_s)
+
     def trained_gate(config_key):
         """Attach the TRAINED-weight quality gate for a config from
         tools/gate_trained_r05.json (measured on the committed structured
@@ -315,8 +335,8 @@ def main():
                 f_cond, f_uncond, f_noise, num_inference_steps=steps)[0]
             sync(exact_imgs)
         f_eng = build_fast_engine(fast_batch)
-        f_dt, f_times, f_compile_s, f_imgs = measure(f_eng, f_cond,
-                                                     f_uncond, f_noise)
+        f_dt, f_times, f_compile_s, f_imgs = measure_retry(
+            f_eng, f_cond, f_uncond, f_noise)
         f_fps = fast_batch / f_dt / n_chips
         gate = quality_vs_exact(
             np.asarray(f_imgs, np.float32)[:fast_batch],
@@ -394,7 +414,7 @@ def main():
                               step_cache_policy=fs_policy)
             eng_dpm = Engine(models, scheduler="dpm",
                              batch_bucket=fs_batch, **few_kw)
-            fdt, ftimes, fcompile, fimgs = measure(
+            fdt, ftimes, fcompile, fimgs = measure_retry(
                 eng_dpm, d_cond, d_uncond, d_noise, n_steps=fs_steps)
             few_fps = fs_batch / fdt / n_chips
             few_gate = quality_vs_exact(
@@ -448,7 +468,7 @@ def main():
             eng_lcm = Engine(models, scheduler="lcm",
                              batch_bucket=lcm_batch,
                              guidance_interval=(0.0, 0.0))  # cond-only
-            ldt, ltimes, lcompile, _limgs = measure(
+            ldt, ltimes, lcompile, _limgs = measure_retry(
                 eng_lcm, l_cond, l_cond[:1], l_noise, n_steps=lcm_steps)
             lcm_fps = lcm_batch / ldt / n_chips
             s_scale = (side / 512.0) ** 2
