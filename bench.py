@@ -1,26 +1,28 @@
-"""Benchmark: frames/sec/chip for a 512x512, 50-step CFG walk dispatch —
-EXACT mode and the quality-gated FAST mode, in one run.
+"""Benchmark: frames/sec/chip at 512x512 CFG — four records in one run.
 
 Runs the production denoise program (CFG scan + VAE decode in one sharded
 XLA dispatch) with full SD v1.x geometry in bf16 on the available chip(s).
 Weights are random — FLOP/byte cost is identical to trained weights.
 
-Two records per run (VERDICT r3 #1):
+Records per run (r5):
 
-* **exact** — the reference-faithful 50-step CFG program (the r1-r3
+* **exact** — the reference-faithful 50-step pndm CFG program (the r1-r3
   headline; comparable across rounds).
-* **fast** — the best composite approximate config (DeepCache
-  ``step_cache`` x limited-interval CFG ``guidance_interval``, composed
-  per-segment since r4), measured on the SAME seeds/weights and gated by
-  SSIM/PSNR against the exact frames.  A speedup is only quoted WITH its
-  gate values.  Note the gate on random weights is conservative: a random
-  UNet's deep features decorrelate across steps faster than a trained
-  one's, so trained-weight caching error is expected to be lower (re-check
-  with ``sdv-tpu validate`` when real weights land).
+* **fast** — the best composite approximate config at the SAME 50-step
+  schedule (DeepCache ``step_cache`` x limited-interval CFG
+  ``guidance_interval``, composed per-segment since r4), gated by
+  SSIM/PSNR against the exact frames on identical seeds/weights.
+* **fewstep** — the measured-best production operating point (dpm-solver++
+  20 steps x non-uniform DeepCache), gated against dpm-50.
+* **distilled** — the LCM 4-step cond-only operating point; speed
+  measured here, quality carried by the trained distillation gate
+  (tools/distill_lcm.py).
 
-The headline line is the FAST record (the only honest route toward
-BASELINE.md's >=6x-A100 north star on a ceiling-bound exact mode — see
-docs/performance.md); the full exact record rides in ``detail.exact``.
+Every approximate record ALSO carries its TRAINED-weight gate from
+tools/gate_trained_r05.json (the random-weight pixel gates saturate —
+they prove plumbing, not perceptual quality).  The headline is the best
+record whose gates hold (distilled needs trained SSIM >= 0.95 to lead;
+see its block); the exact record always rides in ``detail.exact``.
 
 Baseline: the reference publishes no frames/sec (SURVEY.md §6).  BASELINE.md's
 north star is ">=6x A100 frames/sec/chip"; a well-tuned fp16+xformers

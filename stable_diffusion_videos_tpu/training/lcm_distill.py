@@ -38,7 +38,6 @@ from typing import Optional
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..core.schedulers.base import SchedulerConfig, alphas_cumprod_for
