@@ -100,7 +100,9 @@ def main():
     print("teacher ident:", (ids_t == np.arange(n)).mean(), flush=True)
 
     dist = LCMDistiller(models, config=LCMDistillConfig(
-        guidance_scale=GUIDANCE))
+        guidance_scale=GUIDANCE,
+        learning_rate=float(os.environ.get("SDV_DISTILL_LR", "1e-4")),
+        ema_decay=float(os.environ.get("SDV_DISTILL_EMA", "0.95"))))
     report = {"teacher": TEACHER, "backend": jax.default_backend(),
               "guidance_baked": GUIDANCE,
               "config": {"lr": dist.config.learning_rate,
