@@ -78,6 +78,12 @@ def _add_common(ap):
                          "concentrated at the schedule boundaries where "
                          "deep features change fastest (non-uniform "
                          "DeepCache)")
+    ap.add_argument("--frozen-noise", action="store_true",
+                    help="broadcast ONE stochastic-transition noise field "
+                         "across each dispatch batch (lcm/euler_ancestral/"
+                         "ddim eta>0): adjacent walk frames share the "
+                         "transition noise, removing sampler-noise flicker "
+                         "from videos")
     ap.add_argument("--lora", action="append", default=None,
                     metavar="PATH[:SCALE]",
                     help="kohya/diffusers LoRA .safetensors (or trainer "
@@ -119,6 +125,7 @@ def _pipeline(args):
               step_cache_policy=getattr(args, "step_cache_policy",
                                         "uniform"),
               guidance_rescale=getattr(args, "guidance_rescale", 0.0),
+              frozen_noise=getattr(args, "frozen_noise", False),
               prompt_weighting=getattr(args, "prompt_weighting", False))
     gi = getattr(args, "guidance_interval", None)
     if gi is not None:

@@ -144,6 +144,25 @@ def pred_original_sample(eps: jax.Array, sample: jax.Array, alpha_prod_t,
     raise ValueError(f"unknown prediction_type {prediction_type!r}")
 
 
+def transition_noise(sub, sample, tables):
+    """Stochastic-transition noise for one sampler step.
+
+    Default: independent noise per batch row (each sample is its own
+    trajectory).  With ``tables["frozen_noise"]`` (``Engine(
+    frozen_noise=True)``) ONE noise field broadcasts across the batch:
+    a latent-walk dispatch batches ADJACENT frames of one video
+    trajectory, where per-frame transition noise in stochastic samplers
+    (lcm, euler_ancestral, ddim eta>0) reads as temporal flicker — the
+    same rationale as vid2vid's single frozen re-noising sample
+    (pipeline/walk.py).  The flag is static tables metadata, so each
+    mode compiles its own program.
+    """
+    if "frozen_noise" in tables and tables["frozen_noise"]:
+        n = jax.random.normal(sub, sample.shape[1:], dtype=sample.dtype)
+        return jnp.broadcast_to(n, sample.shape)
+    return jax.random.normal(sub, sample.shape, dtype=sample.dtype)
+
+
 class Scheduler:
     """Interface shared by all samplers.  Subclasses are stateless namespaces;
     all data lives in (tables, state) pytrees."""

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import (Scheduler, SchedulerConfig, alphas_cumprod_for,
-                   pred_original_sample, register, spaced_timesteps)
+                   pred_original_sample, register, spaced_timesteps,
+                   transition_noise)
 
 
 @register
@@ -61,6 +62,6 @@ class DDIM(Scheduler):
         prev = jnp.sqrt(a_prev) * x0 + dir_xt
 
         key, sub = jax.random.split(state["key"])
-        noise = jax.random.normal(sub, sample.shape, dtype=sample.dtype)
+        noise = transition_noise(sub, sample, tables)
         prev = prev + sigma * noise  # sigma==0 when eta==0 (deterministic)
         return {"key": key}, prev.astype(sample.dtype)

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import (Scheduler, SchedulerConfig, alphas_cumprod_for,
-                   register, spaced_timesteps)
+                   register, spaced_timesteps,
+                   transition_noise)
 
 
 def _sigma_tables(cfg: SchedulerConfig, num_inference_steps: int):
@@ -107,6 +108,6 @@ class EulerAncestral(_EulerBase):
         derivative = (sample - x0) / sigma
         prev = sample + derivative * (tables["sigma_down"][i] - sigma)
         key, sub = jax.random.split(state["key"])
-        noise = jax.random.normal(sub, sample.shape, dtype=sample.dtype)
+        noise = transition_noise(sub, sample, tables)
         prev = prev + noise * tables["sigma_up"][i]
         return {"key": key}, prev.astype(sample.dtype)

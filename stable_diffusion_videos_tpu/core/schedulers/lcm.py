@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import (Scheduler, SchedulerConfig, alphas_cumprod_for,
-                   check_num_steps, pred_original_sample, register)
+                   check_num_steps, pred_original_sample, register,
+                   transition_noise)
 
 
 def lcm_timesteps(cfg: SchedulerConfig, num_inference_steps: int,
@@ -90,7 +91,7 @@ class LCM(Scheduler):
             x0 = jnp.clip(x0, -1.0, 1.0)
         denoised = tables["c_out"][i] * x0 + tables["c_skip"][i] * sample
         key, sub = jax.random.split(state["key"])
-        noise = jax.random.normal(sub, sample.shape, dtype=sample.dtype)
+        noise = transition_noise(sub, sample, tables)
         prev = (jnp.sqrt(tables["alpha_prod_prev"][i]) * denoised
                 + tables["noise_coeff"][i] * noise)
         return {"key": key}, prev.astype(sample.dtype)

@@ -100,6 +100,7 @@ class StableDiffusionWalkPipeline:
                  step_cache_policy: str = "uniform",
                  guidance_rescale: float = 0.0,
                  guidance_interval=None,
+                 frozen_noise: bool = False,
                  prompt_weighting: bool = False,
                  controlnet=None, freeu=None, ip_adapter=None, tome=None):
         if freeu:
@@ -162,6 +163,7 @@ class StableDiffusionWalkPipeline:
                              step_cache_policy=step_cache_policy,
                              guidance_rescale=guidance_rescale,
                              guidance_interval=guidance_interval,
+                             frozen_noise=frozen_noise,
                              controlnet=controlnet, ip_adapter=ip_adapter)
         #: opt-in A1111/compel emphasis syntax + >77-token prompt chunking
         #: (core/prompt_weighting.py); off by default so literal parentheses

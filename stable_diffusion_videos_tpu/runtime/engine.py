@@ -76,6 +76,7 @@ class Engine:
                  step_cache_policy: str = "uniform",
                  guidance_rescale: float = 0.0,
                  guidance_interval: Optional[tuple] = None,
+                 frozen_noise: bool = False,
                  controlnet=None, ip_adapter=None):
         #: IP-Adapter image prompting (models/ip_adapter.py): decoupled K/V
         #: kernels are spliced into the UNet param tree up front, and the
@@ -154,6 +155,12 @@ class Engine:
                                  "0 <= lo <= hi <= 1")
             guidance_interval = (lo, hi) if (lo, hi) != (0.0, 1.0) else None
         self.guidance_interval = guidance_interval
+        #: broadcast ONE stochastic-transition noise field across the batch
+        #: (lcm / euler_ancestral / ddim eta>0): a walk dispatch batches
+        #: adjacent frames of one trajectory, where per-frame transition
+        #: noise reads as temporal flicker (core/schedulers/base.py
+        #: ``transition_noise``; vid2vid's frozen re-noising analogue)
+        self.frozen_noise = bool(frozen_noise)
         #: sequence/spatial parallelism (SURVEY.md §5.7 stretch): constrain
         #: the latent's W axis onto the mesh `model` axis — XLA SPMD
         #: partitions the convs with halo exchanges and the attention with
@@ -350,7 +357,8 @@ class Engine:
                 start_index: int = 0, sched_name=None, sched=None):
         if sched_name is None:
             sched_name, sched = self._sched_snapshot()
-        key = (sched_name, num_inference_steps, float(eta), start_index)
+        key = (sched_name, num_inference_steps, float(eta), start_index,
+               self.frozen_noise)
         with self._cache_lock:
             if key not in self._tables_cache:
                 kwargs = {}
@@ -361,9 +369,15 @@ class Engine:
                     # the truncated schedule, multistep warm-up replayed at
                     # the entry point (img2img mid-schedule entry)
                     kwargs["start_index"] = start_index
-                self._tables_cache[key] = SchedTables(sched.make_tables(
+                entries = dict(sched.make_tables(
                     self.models.scheduler_config, num_inference_steps,
                     **kwargs))
+                if self.frozen_noise:
+                    # static metadata: stochastic samplers broadcast one
+                    # transition-noise field across the batch (the flag
+                    # keys the treedef, so each mode owns its program)
+                    entries["frozen_noise"] = True
+                self._tables_cache[key] = SchedTables(entries)
             return self._tables_cache[key]
 
     def _interval_segments(self, n_loop: int):

@@ -1,0 +1,72 @@
+"""Frozen stochastic-transition noise (Engine(frozen_noise=True)).
+
+A walk dispatch batches adjacent frames of ONE trajectory; stochastic
+samplers (lcm, euler_ancestral, ddim eta>0) injecting independent
+per-row transition noise there reads as temporal flicker.  The frozen
+mode broadcasts one noise field across the batch
+(core/schedulers/base.py ``transition_noise``).
+
+The discriminating property: a batch of IDENTICAL rows (same latent,
+same context) must produce IDENTICAL frames under frozen noise, and
+DIFFERENT frames without it — while deterministic samplers are
+row-identical either way.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    return SDModels.tiny(seed=0)
+
+
+def _frames(models, scheduler, frozen, steps=4, eta=0.0):
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    eng = Engine(models, scheduler=scheduler, batch_bucket=8,
+                 frozen_noise=frozen)
+    d_ctx = models.unet_config.cross_attention_dim
+    h = models.unet_config.sample_size
+    rng = np.random.default_rng(3)
+    ctx = jnp.broadcast_to(
+        jnp.asarray(rng.standard_normal((1, 7, d_ctx), np.float32)),
+        (8, 7, d_ctx))
+    noise = jnp.broadcast_to(
+        jnp.asarray(rng.standard_normal((1, h, h, 4), np.float32)),
+        (8, h, h, 4))
+    return np.asarray(eng.denoise_frames(
+        ctx, ctx[:1], noise, num_inference_steps=steps,
+        guidance_scale=2.0, eta=eta, key=jax.random.PRNGKey(5)), np.float32)
+
+
+@pytest.mark.parametrize("scheduler,kw", [
+    ("lcm", {}),
+    ("euler_ancestral", {}),
+    ("ddim", {"eta": 1.0}),
+])
+def test_frozen_noise_makes_identical_rows_identical(tiny, scheduler, kw):
+    frames = _frames(tiny, scheduler, frozen=True, **kw)
+    for b in range(1, 8):
+        np.testing.assert_array_equal(frames[0], frames[b])
+
+
+@pytest.mark.parametrize("scheduler,kw", [
+    ("lcm", {}),
+    ("euler_ancestral", {}),
+    ("ddim", {"eta": 1.0}),
+])
+def test_default_noise_keeps_rows_independent(tiny, scheduler, kw):
+    frames = _frames(tiny, scheduler, frozen=False, **kw)
+    diffs = [float(np.abs(frames[0] - frames[b]).max()) for b in range(1, 8)]
+    assert max(diffs) > 1e-4, diffs
+
+
+def test_frozen_flag_noop_for_deterministic_samplers(tiny):
+    """dpm is noise-free: frozen mode must not change its output (the
+    flag only alters transition_noise call sites)."""
+    a = _frames(tiny, "dpm", frozen=False)
+    b = _frames(tiny, "dpm", frozen=True)
+    np.testing.assert_array_equal(a, b)
