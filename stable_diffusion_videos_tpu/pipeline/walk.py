@@ -403,9 +403,16 @@ class StableDiffusionWalkPipeline:
                          step: Optional[tuple] = None, frame_sink=None,
                          upsample_weights: Optional[str] = None,
                          control_image=None, controlnet_scale: float = 1.0,
-                         ip_image=None, ip_scale: float = 1.0):
+                         ip_image=None, ip_scale: float = 1.0,
+                         noise_key=None):
         """Generate frames for one prompt-pair clip (reference
         ``make_clip_frames``, ``stable_diffusion_pipeline.py:481-554``).
+
+        ``noise_key``: override the stochastic-transition PRNG key for
+        EVERY dispatch of the clip (``walk()`` passes one video-level key
+        under ``frozen_noise=True`` so the frozen field is constant across
+        batch AND clip boundaries — per-batch keys would reintroduce a
+        texture seam every ``batch_size`` frames).
 
         ``control_image``: ControlNet conditioning (requires the pipeline's
         ``controlnet=``) — a path/PIL/array map that locks every frame of
@@ -502,10 +509,16 @@ class StableDiffusionWalkPipeline:
                     guidance_scale=guidance_scale, eta=eta,
                     # ancestral-sampler noise stream: fold BOTH clip seeds in
                     # so clips sharing seed_a draw decoupled stochastic noise
-                    # (a seed_a-only derivation coupled them — VERDICT r2)
-                    key=jax.random.fold_in(jax.random.fold_in(
-                        jax.random.PRNGKey(int(seed_a)), int(seed_b) & (2**31 - 1)),
-                        batch_idx),
+                    # (a seed_a-only derivation coupled them — VERDICT r2);
+                    # under frozen_noise the key must NOT vary per dispatch
+                    # (same key -> same per-step field -> no batch seams),
+                    # and walk() passes a video-level noise_key so clip
+                    # boundaries don't reset the field either
+                    key=(noise_key if noise_key is not None
+                         else jax.random.fold_in(jax.random.fold_in(
+                             jax.random.PRNGKey(int(seed_a)),
+                             int(seed_b) & (2**31 - 1)),
+                             0 if self.engine.frozen_noise else batch_idx)),
                     output_dtype="uint8",
                     pooled=pooled, uncond_pooled=uncond_pooled,
                     control=(None if control is None else [
@@ -681,6 +694,12 @@ class StableDiffusionWalkPipeline:
             ), indent=4, sort_keys=True))
 
         audio_start_sec = audio_start_sec or 0.0
+        # frozen_noise: ONE transition-noise key for the entire video —
+        # per-clip/per-batch keys would reset the frozen field at every
+        # boundary, reintroducing the texture seams the mode exists to
+        # remove (derived from the first seed so reruns stay reproducible)
+        walk_noise_key = (jax.random.PRNGKey(int(seeds[0]) & (2**31 - 1))
+                          if self.engine.frozen_noise else None)
         clip_pairs = list(zip(prompts, prompts[1:], seeds, seeds[1:],
                               num_interpolation_steps))
         self._progress = {"clip": 0, "clips_total": len(clip_pairs),
@@ -766,7 +785,8 @@ class StableDiffusionWalkPipeline:
                         step=(i, len(clip_pairs)), frame_sink=frame_sink,
                         control_image=control_image,
                         controlnet_scale=controlnet_scale,
-                        ip_image=ip_image, ip_scale=ip_scale)
+                        ip_image=ip_image, ip_scale=ip_scale,
+                        noise_key=walk_noise_key)
                     if frame_sink is not None:
                         with self.timer.stage("encode"):
                             frame_sink.close()

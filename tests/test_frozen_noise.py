@@ -70,3 +70,31 @@ def test_frozen_flag_noop_for_deterministic_samplers(tiny):
     a = _frames(tiny, "dpm", frozen=False)
     b = _frames(tiny, "dpm", frozen=True)
     np.testing.assert_array_equal(a, b)
+
+
+def _clip_frames(tmp_path, batch_size, tag):
+    from stable_diffusion_videos_tpu.pipeline import (
+        StableDiffusionWalkPipeline)
+    pipe = StableDiffusionWalkPipeline.tiny(scheduler="euler_ancestral",
+                                            frozen_noise=True, safety=False)
+    out = tmp_path / tag
+    pipe.make_clip_frames("a", "b", 1, 2, num_interpolation_steps=5,
+                          save_path=out, num_inference_steps=3,
+                          guidance_scale=2.0, batch_size=batch_size)
+    import PIL.Image
+    return [np.asarray(PIL.Image.open(p))
+            for p in sorted(out.glob("frame*.png"))]
+
+
+def test_frozen_noise_invariant_to_batch_partitioning(tmp_path):
+    """The frozen field must be constant across DISPATCH boundaries:
+    rendering one clip with batch_size=5 (one dispatch) and batch_size=2
+    (three dispatches, uneven tail) must give identical frames.  The
+    per-batch ``fold_in(key, batch_idx)`` derivation broke this — each
+    batch froze a DIFFERENT field, a texture seam every batch_size
+    frames (pipeline/walk.py ``noise_key`` threading)."""
+    a = _clip_frames(tmp_path, 5, "one_dispatch")
+    b = _clip_frames(tmp_path, 2, "three_dispatches")
+    assert len(a) == len(b) == 5
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(fa, fb)
