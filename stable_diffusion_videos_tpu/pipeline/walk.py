@@ -1092,7 +1092,13 @@ class StableDiffusionWalkPipeline:
                     c, uncond, latents, strength=strength,
                     num_inference_steps=num_inference_steps,
                     guidance_scale=guidance_scale,
-                    key=jax.random.PRNGKey(int(seed) * 9973 + frame_idx),
+                    # frozen_noise: a frame_idx-dependent key would freeze a
+                    # DIFFERENT transition field per dispatch — a texture
+                    # seam every batch_size frames (same reasoning as the
+                    # walk's video-level noise_key)
+                    key=jax.random.PRNGKey(
+                        int(seed) * 9973
+                        + (0 if self.engine.frozen_noise else frame_idx)),
                     noise=noise, **xl_kw, **ctrl_kw, **ip_kw)
             self.timer.add_frames(len(images))
             for img in self._postprocess(images):

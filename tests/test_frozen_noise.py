@@ -86,6 +86,32 @@ def _clip_frames(tmp_path, batch_size, tag):
             for p in sorted(out.glob("frame*.png"))]
 
 
+def test_vid2vid_frozen_noise_invariant_to_batch_partitioning():
+    """Same property on the vid2vid path: its per-dispatch key derivation
+    (seed*9973 + frame_idx) must drop the frame_idx term under frozen
+    noise, or each batch of a stochastic-sampler restyle freezes a
+    different transition field (seam every batch_size frames)."""
+    from stable_diffusion_videos_tpu.pipeline import (
+        StableDiffusionWalkPipeline)
+    pipe = StableDiffusionWalkPipeline.tiny(scheduler="lcm",
+                                            frozen_noise=True, safety=False)
+    h = pipe.models.default_size
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, (6, h, h, 3), dtype=np.uint8)
+    kw = dict(strength=0.6, num_inference_steps=4, guidance_scale=2.0,
+              seed=7, output_type="frames")
+    a = pipe.vid2vid(list(src), "p", batch_size=6, **kw)
+    b = pipe.vid2vid(list(src), "p", batch_size=2, **kw)
+    assert len(a) == len(b) == 6
+    for fa, fb in zip(a, b):
+        # batch 6 vs 2 compile DIFFERENT XLA programs (unlike the walk
+        # test, whose dispatches pad to one bucket) — allow the 1-ULP
+        # fusion-order wiggle at the uint8 quantisation edge; a per-batch
+        # key would differ by O(100) levels across most pixels
+        diff = np.abs(np.asarray(fa, np.int16) - np.asarray(fb, np.int16))
+        assert diff.max() <= 1, diff.max()
+
+
 def test_frozen_noise_invariant_to_batch_partitioning(tmp_path):
     """The frozen field must be constant across DISPATCH boundaries:
     rendering one clip with batch_size=5 (one dispatch) and batch_size=2
