@@ -86,6 +86,54 @@ def _clip_frames(tmp_path, batch_size, tag):
             for p in sorted(out.glob("frame*.png"))]
 
 
+LCM_BUNDLE = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "goldens",
+    "structured_lcm_bundle")
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(LCM_BUNDLE),
+                    reason="distilled LCM bundle not present")
+def test_frozen_noise_reduces_walk_flicker_on_trained_weights():
+    """Quality evidence on TRAINED weights (not plumbing): a walk
+    trajectory sampled with the distilled lcm-4 student flickers less
+    frame-to-frame under frozen noise.  LCM injects fresh transition
+    noise at every step, so adjacent frames of the free-noise walk carry
+    independent noise textures — exactly what temporal_flicker measures
+    (the vid2vid coherence gate, utils/metrics.py)."""
+    from stable_diffusion_videos_tpu.core.interp import lerp, slerp
+    from stable_diffusion_videos_tpu.models.bundle import SDModels
+    from stable_diffusion_videos_tpu.runtime.engine import Engine
+    from stable_diffusion_videos_tpu.training import make_structured_dataset
+    from stable_diffusion_videos_tpu.utils.metrics import temporal_flicker
+
+    models = SDModels.load(LCM_BUNDLE)
+    _, prompts = make_structured_dataset(32)
+    h = models.unet_config.sample_size
+    rng = np.random.default_rng(23)
+    n0, n1 = (jnp.asarray(rng.standard_normal((h, h, 4), np.float32))
+              for _ in range(2))
+
+    def walk_frames(frozen):
+        eng = Engine(models, scheduler="lcm", batch_bucket=8,
+                     guidance_interval=(0.0, 0.0), frozen_noise=frozen)
+        e0 = eng.embed_text([prompts[0]])
+        e1 = eng.embed_text([prompts[1]])
+        ts = np.linspace(0.0, 1.0, 8)
+        embeds = jnp.concatenate([lerp(float(t), e0, e1) for t in ts])
+        noise = jnp.stack([slerp(float(t), n0, n1) for t in ts])
+        return np.asarray(eng.denoise_frames(
+            embeds, eng.embed_text(""), noise, num_inference_steps=4,
+            guidance_scale=1.0, key=jax.random.PRNGKey(2)), np.float32)
+
+    free = temporal_flicker(walk_frames(False))
+    frozen = temporal_flicker(walk_frames(True))
+    # the frozen field removes the sampler-noise component of the
+    # consecutive-frame difference; the content morph remains in both
+    assert frozen["flicker_ssim"] < 0.7 * free["flicker_ssim"], (frozen,
+                                                                 free)
+    assert frozen["flicker_mad"] < free["flicker_mad"], (frozen, free)
+
+
 def test_vid2vid_frozen_noise_invariant_to_batch_partitioning():
     """Same property on the vid2vid path: its per-dispatch key derivation
     (seed*9973 + frame_idx) must drop the frame_idx term under frozen
