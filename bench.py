@@ -102,13 +102,7 @@ def _tpu_available_or_reexec(max_attempts: int = 8,
 
 
 def main():
-    from stable_diffusion_videos_tpu.core.schedulers import SchedulerConfig
-    from stable_diffusion_videos_tpu.models import (CLIPTextConfig,
-                                                    HashTokenizer)
     from stable_diffusion_videos_tpu.models.bundle import SDModels
-    from stable_diffusion_videos_tpu.models.unet import (UNet2DCondition,
-                                                         UNetConfig)
-    from stable_diffusion_videos_tpu.models.vae import AutoencoderKL, VAEConfig
     from stable_diffusion_videos_tpu.runtime.engine import Engine
 
     import sys
@@ -120,49 +114,24 @@ def main():
           file=sys.stderr, flush=True)
 
     if on_tpu:
-        ucfg, vcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1()
         steps, side = 50, 512
         # measured batch ladder (v5e, r2): 8 -> 1.238 f/s/chip, 16 -> 1.203,
         # 24 -> 1.181 (per-sample UNet cost is flat from B=8; smaller live
         # set fuses slightly better)
         batch = int(os.environ.get("SDV_BENCH_BATCH", "8"))
         dtype = jnp.bfloat16
+        family = "sd1"
     else:  # smoke fallback so bench always runs
-        ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
         steps, batch, side = 10, 8, 16
         dtype = jnp.float32
+        family = "tiny"
 
-    tcfg = CLIPTextConfig.tiny()
-    f = vcfg.scale_factor
-    h = w = side // f
-
-    # random bf16 params without materialising fp32 first
-    def init_zeros(model, *args):
-        shapes = jax.eval_shape(lambda k: model.init(k, *args),
-                                jax.random.PRNGKey(0))
-        key = [jax.random.PRNGKey(1)]
-
-        def mk(s):
-            key[0], sub = jax.random.split(key[0])
-            return (jax.random.normal(sub, s.shape, jnp.float32) * 0.02
-                    ).astype(dtype if s.dtype == jnp.float32 else s.dtype)
-        return jax.tree.map(mk, shapes)
-
-    unet = UNet2DCondition(ucfg, dtype=dtype)
-    vae = AutoencoderKL(vcfg, dtype=dtype)
-    from stable_diffusion_videos_tpu.models.clip_text import CLIPTextEncoder
-    enc = CLIPTextEncoder(tcfg, dtype=dtype)
-
-    params = {
-        "unet": init_zeros(unet, jnp.zeros((1, h, w, ucfg.in_channels)),
-                           jnp.zeros((1,)),
-                           jnp.zeros((1, 77, ucfg.cross_attention_dim))),
-        "vae": init_zeros(vae, jnp.zeros((1, side, side, 3))),
-        "text_encoder": init_zeros(enc, jnp.zeros((1, 77), jnp.int32)),
-    }
-    models = SDModels(ucfg, vcfg, tcfg, params,
-                      HashTokenizer(vocab_size=tcfg.vocab_size),
-                      SchedulerConfig(), dtype=dtype)
+    # bench geometry + 0.02-scale random params drawn directly in `dtype`
+    # (never an fp32 tree first): ONE shared definition, used by bench.py
+    # and the tools/ measurement probes alike (models/bundle.py)
+    models = SDModels.random_bench(family, dtype=dtype)
+    ucfg, vcfg = models.unet_config, models.vae_config
+    h = w = side // vcfg.scale_factor
     engine = Engine(models, scheduler="pndm", batch_bucket=batch)
 
     # fast-mode config (r4), chosen by the on-chip sweeps in
@@ -507,7 +476,10 @@ def main():
     gated = [r for r in (fast_rec, few_rec) if r is not None]
     if lcm_rec is not None:
         tg = lcm_rec.get("trained_quality_gate") or {}
-        if tg.get("ident_acc") == 1.0 and tg.get("ssim_mean", 0.0) >= 0.9:
+        # the documented headline bar (module docstring): trained SSIM >=
+        # 0.95 AND perfect pattern identification — today's distilled
+        # bundle gates 0.751, so this record stays a detail by design
+        if tg.get("ident_acc") == 1.0 and tg.get("ssim_mean", 0.0) >= 0.95:
             gated.append(lcm_rec)
     head = max(gated, key=lambda r: r["value"]) if gated else exact_rec
     result = {

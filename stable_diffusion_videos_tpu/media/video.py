@@ -243,6 +243,21 @@ def _read_native_avi(path):
     return fps, gen()
 
 
+def _is_native_avi(path) -> bool:
+    """True when ``path`` looks like an MJPEG AVI the pure-Python reader
+    can decode: RIFF/AVI magic AND an MJPG 'vids' stream header (our muxer
+    writes fccType/fccHandler contiguously — ``sdv_media.cpp:214-215``).
+    A bare RIFF/AVI magic check is NOT enough: foreign codecs (XVID,
+    h264-in-AVI) must keep falling through to the cv2/ffmpeg rungs."""
+    try:
+        with open(str(path), "rb") as f:
+            head = f.read(8192)
+    except OSError:
+        return False
+    return (head[:4] == b"RIFF" and head[8:12] == b"AVI "
+            and b"vidsMJPG" in head)
+
+
 def _probe_via_ffmpeg(path) -> Optional[dict]:
     """Parse ``ffmpeg -i`` stderr for the video stream's WxH and fps.
 
@@ -279,8 +294,9 @@ def probe_video(path) -> dict:
     """{'fps', 'n_frames', 'width', 'height'} for a video file.
 
     Probe ladder mirrors the decode ladder: cv2 -> pure-Python native-AVI
-    reader (for RIFF/AVI files — exact rational fps + real frame count,
-    which the ffmpeg stderr parse cannot provide) -> ffmpeg stderr parse.
+    reader (for MJPEG AVIs only — exact rational fps + real frame count,
+    which the ffmpeg stderr parse cannot provide; foreign-codec AVIs fall
+    through like any other container) -> ffmpeg stderr parse.
     n_frames may be 0 when the container (or the ffmpeg probe) does not
     carry a count."""
     path = str(path)
@@ -297,13 +313,7 @@ def probe_video(path) -> dict:
                 return info
     except ImportError:
         pass
-    try:
-        with open(path, "rb") as f:
-            magic = f.read(12)
-        is_native_avi = magic[:4] == b"RIFF" and magic[8:12] == b"AVI "
-    except OSError:
-        is_native_avi = False
-    if not is_native_avi:
+    if not _is_native_avi(path):
         info = _probe_via_ffmpeg(path)
         if info is not None:
             return info

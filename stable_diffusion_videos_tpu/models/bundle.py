@@ -230,6 +230,63 @@ class SDModels:
                    dtype=dtype, tiled=tiled, text_config_2=tcfg2)
 
     @classmethod
+    def random_bench(cls, family: str = "sd1", dtype=jnp.bfloat16,
+                     seed: int = 1, text_config=None) -> "SDModels":
+        """Full-geometry bundle with RANDOM bench weights: the real
+        SD1.x/SDXL UNet+VAE geometry under a tiny text tower (embedding
+        cost is negligible next to the UNet), params drawn N(0, 0.02)
+        directly in ``dtype`` via ``eval_shape`` — never materialising an
+        fp32 tree first (an 860M-param fp32 tree wastes 3.4 GB of HBM
+        next to the compiled program).  The 0.02 scale is load-bearing:
+        unit-scale bf16 params overflow the UNet's residual sums within a
+        few blocks.  One definition shared by ``bench.py`` and the
+        ``tools/`` measurement probes so every timed program runs the
+        same geometry."""
+        from ..utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
+        if family == "sdxl":
+            ucfg, vcfg, _, _ = cls.sd_xl_configs()
+        elif family == "sd1":
+            ucfg, vcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1()
+        elif family == "tiny":  # bench.py's CPU smoke fallback
+            ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+        else:
+            raise ValueError(f"unknown bench family {family!r}")
+        # tiny text tower by default: embedding cost is negligible in the
+        # denoise programs; tools measuring embed/compile latency pass a
+        # real-sized text_config instead (tools/tpu_warmup_latency.py)
+        tcfg = text_config or CLIPTextConfig.tiny()
+        key = [jax.random.PRNGKey(seed)]
+
+        def random_params(model, *args):
+            shapes = jax.eval_shape(lambda k: model.init(k, *args),
+                                    jax.random.PRNGKey(0))
+
+            def mk(s):
+                key[0], sub = jax.random.split(key[0])
+                return (jax.random.normal(sub, s.shape, jnp.float32) * 0.02
+                        ).astype(dtype if s.dtype == jnp.float32
+                                 else s.dtype)
+            return jax.tree.map(mk, shapes)
+
+        xl_args = ((jnp.zeros((1, ucfg.addition_pooled_dim)),
+                    jnp.zeros((1, ucfg.addition_num_ids)))
+                   if family == "sdxl" else ())
+        params = {
+            "unet": random_params(
+                UNet2DCondition(ucfg, dtype=dtype),
+                jnp.zeros((1, 8, 8, ucfg.in_channels)), jnp.zeros((1,)),
+                jnp.zeros((1, 77, ucfg.cross_attention_dim)), *xl_args),
+            "vae": random_params(AutoencoderKL(vcfg, dtype=dtype),
+                                 jnp.zeros((1, 64, 64, 3))),
+            "text_encoder": random_params(CLIPTextEncoder(tcfg, dtype=dtype),
+                                          jnp.zeros((1, 77), jnp.int32)),
+        }
+        return cls(ucfg, vcfg, tcfg, params,
+                   HashTokenizer(vocab_size=tcfg.vocab_size),
+                   SchedulerConfig(), dtype=dtype)
+
+    @classmethod
     def sd_xl_configs(cls):
         """The full SDXL-base config tuple (unet, vae, text, text_2) — used
         by the weight converter and by shape-only tooling."""

@@ -587,10 +587,16 @@ class StableDiffusionWalkPipeline:
         # (docs/performance.md batch ladders: b8 is ~1.7x b1 on the 512^2
         # families) — a deliberate deviation from the reference's
         # ``batch_size=1`` (``stable_diffusion_pipeline.py:564-566``); pass
-        # batch_size=1 explicitly for reference-identical dispatch grouping
-        # (frames are identical either way — batching only groups
-        # dispatches).  fast mode's interval composite needs >=16 cond-only
-        # rows to clear the latency-bound region.
+        # batch_size=1 explicitly for reference-identical dispatch grouping.
+        # For DETERMINISTIC samplers (the reference's six at eta=0) frames
+        # are identical at any batch size — batching only groups
+        # dispatches.  Stochastic samplers (lcm, euler_ancestral, ddim
+        # eta>0) draw transition noise per dispatch, so their pixels DO
+        # depend on the grouping; pin batch_size for bit-reproducibility
+        # there, or better, use frozen_noise=True (one video-level field,
+        # grouping-invariant by construction).  fast mode's interval
+        # composite needs >=16 cond-only rows to clear the latency-bound
+        # region.
         if batch_size is None:
             batch_size = (16 if self.fast and not self.models.is_xl
                           else self.models.default_batch_size)
@@ -1077,6 +1083,23 @@ class StableDiffusionWalkPipeline:
                 noise = self.init_noise(
                     seed, (1,) + latents.shape[1:3]
                     + (self.models.unet_config.in_channels,))
+            batch_noise = noise
+            if batch_noise is None and self.engine.frozen_noise:
+                # frozen mode holds the per-dispatch key constant (so the
+                # TRANSITION field never reseams) — but the initial
+                # re-noising draw must stay per-frame, or every batch
+                # reuses one (B,h,w,4) field: period-B texture recurrence
+                # and output dependent on the batch partitioning.  Draw it
+                # explicitly, keyed by ABSOLUTE frame index (partition-
+                # invariant), instead of letting img2img split the frozen
+                # key.
+                base = jax.random.PRNGKey((int(seed) * 9973 + 1)
+                                          & (2**31 - 1))
+                batch_noise = jax.numpy.stack([
+                    jax.random.normal(jax.random.fold_in(base,
+                                                         frame_idx + j),
+                                      latents.shape[1:], "float32")
+                    for j in range(B)])
             ctrl_kw = {}
             if control_from_source is not None:
                 ctrl_kw = dict(control=np.stack([source_map(f)
@@ -1099,7 +1122,7 @@ class StableDiffusionWalkPipeline:
                     key=jax.random.PRNGKey(
                         int(seed) * 9973
                         + (0 if self.engine.frozen_noise else frame_idx)),
-                    noise=noise, **xl_kw, **ctrl_kw, **ip_kw)
+                    noise=batch_noise, **xl_kw, **ctrl_kw, **ip_kw)
             self.timer.add_frames(len(images))
             for img in self._postprocess(images):
                 if output_type == "frames":

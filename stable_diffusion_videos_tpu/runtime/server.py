@@ -303,6 +303,11 @@ class Server:
             raise ValueError(f"unknown warmup parameters: {unknown} "
                              f"(allowed: {sorted(self.WARMUP_KWARGS)})")
         eng = self.pipeline.engine
+        for field in ("schedulers", "batches", "output_dtypes"):
+            v = body.get(field)
+            if v is not None and not isinstance(v, list):
+                raise ValueError(f"'{field}' must be a JSON list, got "
+                                 f"{type(v).__name__}")
         schedulers = body.get("schedulers") or (
             [body["scheduler"]] if body.get("scheduler")
             else [eng.scheduler_name])

@@ -73,6 +73,23 @@ def _build_patterns():
     ]
 
 
+def identify_patterns(samples: np.ndarray, images: np.ndarray) -> np.ndarray:
+    """For each sample, the index of the dataset image it correlates best
+    with (zero-mean cosine over pixels) — the project's hard quality gate
+    for trained/distilled checkpoints: a generator "knows" a pattern when
+    its sample identifies as that pattern.  Lives next to the dataset so
+    the gate is a single definition for the trainer, the distiller and the
+    tests (tools/train_structured.py, tools/distill_lcm.py,
+    tests/test_trained_gates.py, tests/test_lcm_distill.py)."""
+    s = samples.reshape(len(samples), -1)
+    t = images.reshape(len(images), -1)
+    s = s - s.mean(1, keepdims=True)
+    t = t - t.mean(1, keepdims=True)
+    corr = (s @ t.T) / (np.linalg.norm(s, axis=1)[:, None]
+                        * np.linalg.norm(t, axis=1)[None] + 1e-9)
+    return corr.argmax(1)
+
+
 def make_structured_dataset(size: int = 32):
     """-> (images float32 (8, size, size, 3) in [-1, 1], prompts list[str])."""
     global _PATTERNS

@@ -141,6 +141,31 @@ def quality_vs_exact(frames: np.ndarray, exact: np.ndarray,
     return out
 
 
+def psnr_spread_by_reference(configs: dict) -> dict:
+    """Saturation check for a table of ``quality_vs_exact`` gate entries:
+    max−min ``psnr_mean`` computed PER shared reference, where a config's
+    reference is its ``_vs_<ref>`` name suffix (entries without one were
+    gated against the exact program).  PSNRs measured against DIFFERENT
+    references are incomparable — one pooled spread would let a genuinely
+    saturated sweep hide behind a cross-reference gap.  Returns
+    ``{"spreads_db": {ref: dB}, "psnr_spread_db": <max>, "saturated":
+    all-groups-with->=2-entries-under-3dB}``."""
+    groups: dict[str, list[float]] = {}
+    for name, g in configs.items():
+        if "psnr_mean" not in g:
+            continue
+        ref = name.rsplit("_vs_", 1)[1] if "_vs_" in name else "exact"
+        groups.setdefault(ref, []).append(float(g["psnr_mean"]))
+    spreads = {ref: round(max(ps) - min(ps), 2)
+               for ref, ps in groups.items() if len(ps) >= 2}
+    return {
+        "spreads_db": spreads,
+        "psnr_spread_db": max(spreads.values()) if spreads else 0.0,
+        "saturated": bool(spreads) and all(s < 3.0
+                                           for s in spreads.values()),
+    }
+
+
 def temporal_flicker(frames, data_range: float = 1.0,
                      lpips_weights: str | None = None,
                      lpips_net: str = "alex") -> dict:

@@ -160,6 +160,38 @@ def test_vid2vid_frozen_noise_invariant_to_batch_partitioning():
         assert diff.max() <= 1, diff.max()
 
 
+def test_vid2vid_frozen_transition_keeps_per_frame_initial_noise():
+    """frozen_noise must freeze ONLY the transition field.  With
+    ``shared_noise=False`` the initial re-noising draw has to stay
+    per-frame: the buggy path let img2img split the (frozen) dispatch
+    key, so every batch reused one (B,h,w,4) field — frame j and frame
+    j+batch_size got byte-identical initial noise (period-B texture
+    recurrence) and the output depended on the batch partitioning."""
+    from stable_diffusion_videos_tpu.pipeline import (
+        StableDiffusionWalkPipeline)
+    pipe = StableDiffusionWalkPipeline.tiny(scheduler="lcm",
+                                            frozen_noise=True, safety=False)
+    h = pipe.models.default_size
+    # IDENTICAL source frames isolate the initial-noise contribution
+    src = [np.full((h, h, 3), 128, np.uint8)] * 6
+    kw = dict(strength=0.6, num_inference_steps=4, guidance_scale=2.0,
+              seed=7, output_type="frames", shared_noise=False)
+    a = pipe.vid2vid(src, "p", batch_size=2, **kw)
+    assert len(a) == 6
+    arr = [np.asarray(f, np.int16) for f in a]
+    # period-B recurrence gone: same-row frames of consecutive batches
+    # must differ (identical sources, so only the initial noise separates
+    # them)
+    assert np.abs(arr[0] - arr[2]).max() > 1, "frame 0 == frame 2"
+    assert np.abs(arr[1] - arr[3]).max() > 1, "frame 1 == frame 3"
+    # and the result is invariant to the partitioning (absolute-frame-
+    # indexed draws), modulo the 1-ULP cross-program quantisation wiggle
+    b = pipe.vid2vid(src, "p", batch_size=3, **kw)
+    for fa, fb in zip(a, b):
+        diff = np.abs(np.asarray(fa, np.int16) - np.asarray(fb, np.int16))
+        assert diff.max() <= 1, diff.max()
+
+
 def test_frozen_noise_invariant_to_batch_partitioning(tmp_path):
     """The frozen field must be constant across DISPATCH boundaries:
     rendering one clip with batch_size=5 (one dispatch) and batch_size=2

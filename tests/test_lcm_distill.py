@@ -111,10 +111,6 @@ def test_distilled_bundle_lcm4_identifies_patterns():
         eng.embed_text(prompts), eng.embed_text(""), noise,
         num_inference_steps=4, guidance_scale=1.0,
         key=jax.random.PRNGKey(0)), np.float32) * 2.0 - 1.0
-    s = frames.reshape(len(frames), -1)
-    t = images.reshape(len(images), -1)
-    s = s - s.mean(1, keepdims=True)
-    t = t - t.mean(1, keepdims=True)
-    corr = (s @ t.T) / (np.linalg.norm(s, axis=1)[:, None]
-                        * np.linalg.norm(t, axis=1)[None] + 1e-9)
-    assert (corr.argmax(1) == np.arange(len(frames))).all(), corr.argmax(1)
+    from stable_diffusion_videos_tpu.training import identify_patterns
+    ids = identify_patterns(frames, images)
+    assert (ids == np.arange(len(frames))).all(), ids

@@ -62,3 +62,30 @@ def test_quality_vs_exact():
     assert 0.5 < q["ssim_min"] <= q["ssim_mean"] < 1.0
     assert q["psnr_min"] <= q["psnr_mean"]
     assert "lpips_mean" not in q  # no weights supplied
+
+
+def test_psnr_spread_by_reference_groups():
+    """Spread/saturation must be computed per shared reference: pooling
+    PSNRs measured against different baselines can fake separation (a
+    saturated sweep hiding behind a cross-reference gap)."""
+    from stable_diffusion_videos_tpu.utils.metrics import (
+        psnr_spread_by_reference)
+    configs = {
+        # saturated group vs exact (spread 0.1 dB)
+        "step_cache=2": {"psnr_mean": 92.0},
+        "step_cache=3": {"psnr_mean": 91.9},
+        # far-away reference group (would fake a 52 dB pooled spread)
+        "dpm25_vs_dpm50": {"psnr_mean": 40.0},
+        "dpm20_vs_dpm50": {"psnr_mean": 38.0},
+        # singleton group: no spread computable
+        "lcm4_vs_teacher_dpm50": {"psnr_mean": 20.0, "ident_acc": 1.0},
+        # non-gate entry is ignored
+        "meta": {"note": "x"},
+    }
+    out = psnr_spread_by_reference(configs)
+    assert out["spreads_db"] == {"exact": 0.1, "dpm50": 2.0}
+    assert out["psnr_spread_db"] == 2.0
+    # the exact group IS saturated -> the flag must say so even though a
+    # pooled max-min across groups would be ~72 dB
+    assert out["saturated"] is True
+    assert psnr_spread_by_reference({})["saturated"] is False

@@ -285,6 +285,31 @@ def test_probe_video_native_before_ffmpeg(tmp_path, monkeypatch):
     assert (info["width"], info["height"]) == (48, 32)
 
 
+def test_probe_video_foreign_avi_not_routed_to_native_reader(tmp_path,
+                                                             monkeypatch):
+    """A RIFF/AVI file with a foreign codec (XVID) must NOT short-circuit
+    into the pure-Python MJPEG reader — it has to fall through to the
+    ffmpeg probe rung like any other container (the native reader would
+    PIL-decode its chunks and crash)."""
+    from stable_diffusion_videos_tpu.media import video as V
+    path = tmp_path / "foreign.avi"
+    # minimal header shape: RIFF//AVI magic + a vids strh with XVID handler
+    path.write_bytes(b"RIFF" + (1000).to_bytes(4, "little") + b"AVI "
+                     + b"strh" + (56).to_bytes(4, "little")
+                     + b"vidsXVID" + b"\0" * 48)
+    assert not V._is_native_avi(path)
+    monkeypatch.setitem(sys.modules, "cv2", None)
+    sentinel = dict(fps=24.0, n_frames=0, width=640, height=480)
+    monkeypatch.setattr(V, "_probe_via_ffmpeg", lambda p: sentinel)
+    assert V.probe_video(path) is sentinel
+    # and our own muxer's header IS recognised
+    native = tmp_path / "native.avi"
+    native.write_bytes(b"RIFF" + (1000).to_bytes(4, "little") + b"AVI "
+                       + b"strh" + (56).to_bytes(4, "little")
+                       + b"vidsMJPG" + b"\0" * 48)
+    assert V._is_native_avi(native)
+
+
 def test_ffmpeg_probe_no_fabricated_fps(monkeypatch):
     """When ffmpeg's stream line lacks fps, fall back to tbr; when neither
     is present, report fps=None — never 30.0."""

@@ -354,6 +354,13 @@ def test_warmup_validation(served):
     status, body = _req(host, port, "POST", "/warmup",
                         {"output_dtypes": ["float64"]})
     assert status == 400
+    # non-list values must 400 with a shape message, not iterate chars
+    # ("unknown scheduler d") or TypeError
+    status, body = _req(host, port, "POST", "/warmup", {"batches": 8})
+    assert status == 400 and "list" in body["error"]
+    status, body = _req(host, port, "POST", "/warmup",
+                        {"schedulers": "ddim"})
+    assert status == 400 and "list" in body["error"]
 
 
 def test_warmup_async(served):

@@ -54,13 +54,9 @@ def test_trained_bundle_samples_structured(trained):
     models, prompts = trained
     images, _ = make_structured_dataset(32)
     frames = _run(models, prompts) * 2.0 - 1.0  # [-1,1] like the dataset
-    s = frames.reshape(len(frames), -1)
-    t = images.reshape(len(images), -1)
-    s = s - s.mean(1, keepdims=True)
-    t = t - t.mean(1, keepdims=True)
-    corr = (s @ t.T) / (np.linalg.norm(s, axis=1)[:, None]
-                        * np.linalg.norm(t, axis=1)[None] + 1e-9)
-    assert (corr.argmax(1) == np.arange(len(frames))).all(), corr.argmax(1)
+    from stable_diffusion_videos_tpu.training import identify_patterns
+    ids = identify_patterns(frames, images)
+    assert (ids == np.arange(len(frames))).all(), ids
 
 
 def test_gates_separate_on_trained_weights(trained):

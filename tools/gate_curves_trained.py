@@ -139,11 +139,13 @@ def main():
          run(scheduler="dpm", steps=20, step_cache=2,
              step_cache_policy="ends"), vs=dpm50)
 
-    # separation check: the gate is only evidence if configs differ
-    psnrs = {k: v["psnr_mean"] for k, v in report["configs"].items()}
-    spread = max(psnrs.values()) - min(psnrs.values())
-    report["psnr_spread_db"] = round(spread, 2)
-    report["saturated"] = bool(spread < 3.0)
+    # separation check: the gate is only evidence if configs differ —
+    # spread is computed PER reference (plain names vs the exact program,
+    # "*_vs_dpm50" vs the dpm-50 run), never pooled across references
+    from stable_diffusion_videos_tpu.utils.metrics import \
+        psnr_spread_by_reference
+    report.update(psnr_spread_by_reference(report["configs"]))
+    spread = report["psnr_spread_db"]
     with open(OUT, "w") as f:
         json.dump(report, f, indent=1)
     print(f"psnr spread {spread:.2f} dB; saturated={report['saturated']}")

@@ -47,33 +47,10 @@ def main() -> None:
                                                         VAEConfig)
     from stable_diffusion_videos_tpu.runtime.engine import Engine
 
-    ucfg, vcfg, tcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1(), \
-        CLIPTextConfig.tiny()
-    dtype = jnp.bfloat16
-
-    def init_zeros(model, *args):
-        shapes = jax.eval_shape(lambda k: model.init(k, *args),
-                                jax.random.PRNGKey(0))
-        key = [jax.random.PRNGKey(1)]
-
-        def mk(s):
-            key[0], sub = jax.random.split(key[0])
-            return (jax.random.normal(sub, s.shape, jnp.float32) * 0.02
-                    ).astype(dtype if s.dtype == jnp.float32 else s.dtype)
-        return jax.tree.map(mk, shapes)
-
-    unet = UNet2DCondition(ucfg, dtype=dtype)
-    vae = AutoencoderKL(vcfg, dtype=dtype)
-    enc = CLIPTextEncoder(tcfg, dtype=dtype)
-    params = {
-        "unet": init_zeros(unet, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
-                           jnp.zeros((1, 77, ucfg.cross_attention_dim))),
-        "vae": init_zeros(vae, jnp.zeros((1, 64, 64, 3))),
-        "text_encoder": init_zeros(enc, jnp.zeros((1, 77), jnp.int32)),
-    }
-    models = SDModels(ucfg, vcfg, tcfg, params,
-                      HashTokenizer(vocab_size=tcfg.vocab_size),
-                      SchedulerConfig(), dtype=dtype)
+    # shared bench scaffold (models/bundle.py random_bench): SD1.x
+    # geometry, 0.02-scale random bf16 params drawn in-dtype
+    models = SDModels.random_bench("sd1")
+    ucfg = models.unet_config
     rng = np.random.default_rng(0)
 
     def sync(x):

@@ -55,35 +55,10 @@ def main():
     from stable_diffusion_videos_tpu.runtime.engine import Engine
     from stable_diffusion_videos_tpu.utils.metrics import quality_vs_exact
 
-    ucfg, vcfg, _, _ = SDModels.sd_xl_configs()
-    tcfg = CLIPTextConfig.tiny()
-    dtype = jnp.bfloat16
-
-    def init_zeros(model, *args):
-        shapes = jax.eval_shape(lambda k: model.init(k, *args),
-                                jax.random.PRNGKey(0))
-        key = [jax.random.PRNGKey(1)]
-
-        def mk(s):
-            key[0], sub = jax.random.split(key[0])
-            return (jax.random.normal(sub, s.shape, jnp.float32) * 0.02
-                    ).astype(dtype if s.dtype == jnp.float32 else s.dtype)
-        return jax.tree.map(mk, shapes)
-
-    unet = UNet2DCondition(ucfg, dtype=dtype)
-    vae = AutoencoderKL(vcfg, dtype=dtype)
-    enc = CLIPTextEncoder(tcfg, dtype=dtype)
-    params = {
-        "unet": init_zeros(unet, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
-                           jnp.zeros((1, 77, ucfg.cross_attention_dim)),
-                           jnp.zeros((1, ucfg.addition_pooled_dim)),
-                           jnp.zeros((1, 6))),
-        "vae": init_zeros(vae, jnp.zeros((1, 64, 64, 3))),
-        "text_encoder": init_zeros(enc, jnp.zeros((1, 77), jnp.int32)),
-    }
-    models = SDModels(ucfg, vcfg, tcfg, params,
-                      HashTokenizer(vocab_size=tcfg.vocab_size),
-                      SchedulerConfig(), dtype=dtype)
+    # shared bench scaffold (models/bundle.py random_bench): SDXL-base
+    # geometry, 0.02-scale random bf16 params drawn in-dtype
+    models = SDModels.random_bench("sdxl")
+    ucfg, vcfg = models.unet_config, models.vae_config
     assert models.is_xl
 
     rng = np.random.default_rng(0)

@@ -56,37 +56,14 @@ def _pipeline():
     from stable_diffusion_videos_tpu.pipeline import \
         StableDiffusionWalkPipeline
 
-    ucfg, vcfg = UNetConfig.sd_v1(), VAEConfig.sd_v1()
     # /generate really embeds the prompt, so the text tower's hidden size
     # must match the UNet's cross_attention_dim (768); keep it SHALLOW so
     # the compile under test stays the denoise program, not CLIP
     tcfg = CLIPTextConfig(hidden_size=768, intermediate_size=1536,
                           num_layers=2, num_heads=12, vocab_size=1000)
-    dtype = jnp.bfloat16
-
-    def init_zeros(model, *args):
-        shapes = jax.eval_shape(lambda k: model.init(k, *args),
-                                jax.random.PRNGKey(0))
-        key = [jax.random.PRNGKey(1)]
-
-        def mk(s):
-            key[0], sub = jax.random.split(key[0])
-            return (jax.random.normal(sub, s.shape, jnp.float32) * 0.02
-                    ).astype(dtype if s.dtype == jnp.float32 else s.dtype)
-        return jax.tree.map(mk, shapes)
-
-    unet = UNet2DCondition(ucfg, dtype=dtype)
-    vae = AutoencoderKL(vcfg, dtype=dtype)
-    enc = CLIPTextEncoder(tcfg, dtype=dtype)
-    params = {
-        "unet": init_zeros(unet, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
-                           jnp.zeros((1, 77, ucfg.cross_attention_dim))),
-        "vae": init_zeros(vae, jnp.zeros((1, 64, 64, 3))),
-        "text_encoder": init_zeros(enc, jnp.zeros((1, 77), jnp.int32)),
-    }
-    models = SDModels(ucfg, vcfg, tcfg, params,
-                      HashTokenizer(vocab_size=tcfg.vocab_size),
-                      SchedulerConfig(), dtype=dtype)
+    # shared bench scaffold: SD1.x geometry, 0.02-scale random bf16 params
+    # drawn in-dtype (models/bundle.py random_bench)
+    models = SDModels.random_bench("sd1", text_config=tcfg)
     return StableDiffusionWalkPipeline(models, scheduler="pndm",
                                        batch_bucket=BATCH, safety=False)
 

@@ -58,15 +58,10 @@ SAMPLE_STEPS = 50
 
 
 def identify(samples: np.ndarray, images: np.ndarray):
-    """For each sample, index of the training image it correlates best
-    with (zero-mean cosine over pixels) + its PSNR vs its OWN image."""
-    s = samples.reshape(len(samples), -1)
-    t = images.reshape(len(images), -1)
-    s = s - s.mean(1, keepdims=True)
-    t = t - t.mean(1, keepdims=True)
-    corr = (s @ t.T) / (np.linalg.norm(s, axis=1)[:, None]
-                        * np.linalg.norm(t, axis=1)[None] + 1e-9)
-    ids = corr.argmax(1)
+    """Identification gate (single definition: training/structured_data.py)
+    + each sample's PSNR vs its OWN image."""
+    from stable_diffusion_videos_tpu.training import identify_patterns
+    ids = identify_patterns(samples, images)
     mse = ((samples - images) ** 2).mean((1, 2, 3))
     psnr = 10 * np.log10(4.0 / np.maximum(mse, 1e-12))
     return ids, psnr
