@@ -46,6 +46,10 @@ class SDModels:
     #: ToMe-SD token merging: (ratio, max_level) or None (off) —
     #: see ``ops/tome.py`` / ``SDModels.with_tome``
     tome: Optional[tuple] = None
+    #: TAESD tiny autoencoder geometry (models/taesd.py) — set when
+    #: ``params`` carries "taesd_decoder" (+ optional "taesd_encoder");
+    #: enables ``Engine(tiny_decoder=True)``
+    taesd_config: Optional[Any] = None
 
     def __post_init__(self):
         # model init/convert compiles run before any Engine exists; on this
@@ -91,6 +95,35 @@ class SDModels:
     def vae(self) -> AutoencoderKL:
         return AutoencoderKL(self.vae_config, dtype=self.dtype,
                              tiled=self.tiled)
+
+    def taesd_decoder(self):
+        """TAESD tiny decoder module (models/taesd.py), or None when the
+        bundle carries no tiny-autoencoder weights."""
+        if self.taesd_config is None or "taesd_decoder" not in self.params:
+            return None
+        from .taesd import TAESDDecoder
+        return TAESDDecoder(self.taesd_config, dtype=self.dtype)
+
+    def with_taesd(self, taesd) -> "SDModels":
+        """Bundle copy with TAESD attached.  ``taesd`` is a checkpoint path
+        (upstream taesd_decoder.safetensors / diffusers AutoencoderTiny —
+        converted via models/taesd.py) or a ``(config, params_dict)`` pair
+        (e.g. from tools/distill_taesd.py).  The tiny factor must match the
+        KL-VAE's or latents wouldn't decode to the requested size."""
+        from .taesd import load_taesd
+        if isinstance(taesd, (str,)) or hasattr(taesd, "__fspath__"):
+            cfg, extra = load_taesd(taesd)
+        else:
+            cfg, extra = taesd
+            if not isinstance(extra, dict) or "taesd_decoder" not in extra:
+                raise ValueError("with_taesd((config, params)): params must "
+                                 "be a dict with a 'taesd_decoder' entry")
+        if cfg.scale_factor != self.vae_scale_factor:
+            raise ValueError(
+                f"TAESD pixel factor {cfg.scale_factor}x does not match the "
+                f"bundle VAE's {self.vae_scale_factor}x")
+        return dataclasses.replace(
+            self, taesd_config=cfg, params={**self.params, **extra})
 
     def text_encoder(self) -> CLIPTextEncoder:
         return CLIPTextEncoder(self.text_config, dtype=self.dtype)

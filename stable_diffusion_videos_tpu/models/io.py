@@ -63,6 +63,8 @@ def save_bundle(models, path) -> str:
         "scheduler_config": _cfg_to_dict(models.scheduler_config),
         "safety_config": (_cfg_to_dict(models.safety_config)
                           if models.safety_config else None),
+        "taesd_config": (_cfg_to_dict(models.taesd_config)
+                         if models.taesd_config is not None else None),
         "components": sorted(models.params.keys()),
         "tokenizer": ("bpe" if isinstance(base_tok, CLIPBPETokenizer)
                       else "hash"),
@@ -128,6 +130,10 @@ def load_bundle(path, dtype=None, cls=None):
         sc = dict(meta["safety_config"])
         sc["vision"] = CLIPVisionConfig(**sc["vision"])
         safety_cfg = SafetyConfig(**sc)
+    taesd_cfg = None
+    if meta.get("taesd_config"):  # absent in pre-r5 bundles
+        from .taesd import TAESDConfig
+        taesd_cfg = TAESDConfig(**meta["taesd_config"])
 
     params = {}
     for name in meta["components"]:
@@ -156,4 +162,4 @@ def load_bundle(path, dtype=None, cls=None):
     return cls(ucfg, vcfg, tcfg, params, tokenizer, scfg,
                safety_config=safety_cfg, dtype=load_dtype,
                tiled=meta["tiled"], text_config_2=tcfg2,
-               tokenizer_2=tokenizer_2)
+               tokenizer_2=tokenizer_2, taesd_config=taesd_cfg)

@@ -77,6 +77,7 @@ class Engine:
                  guidance_rescale: float = 0.0,
                  guidance_interval: Optional[tuple] = None,
                  frozen_noise: bool = False,
+                 tiny_decoder: bool = False,
                  controlnet=None, ip_adapter=None):
         #: IP-Adapter image prompting (models/ip_adapter.py): decoupled K/V
         #: kernels are spliced into the UNet param tree up front, and the
@@ -115,6 +116,20 @@ class Engine:
         #: fused into the denoise program)
         self.vae_tile = vae_tile
         self.vae_tile_overlap = vae_tile_overlap
+        #: decode through the TAESD tiny decoder (models/taesd.py) instead
+        #: of the KL decoder — ~70x fewer decode FLOPs, the dominant lever
+        #: at few-step operating points (LCM-4: decode is ~50% of frame
+        #: cost).  Opt-in quality trade; needs SDModels.with_taesd weights.
+        #: The tiny decode always fuses into the program whole-frame
+        #: (vae_tile then only governs the ENCODE side of img2img paths —
+        #: at 1/70th the FLOPs and no attention, even 2048^2 tiny decodes
+        #: fit where the KL decoder needed tiling).
+        self.tiny_decoder = bool(tiny_decoder)
+        if self.tiny_decoder and models.taesd_decoder() is None:
+            raise ValueError(
+                "tiny_decoder=True requires TAESD weights on the bundle — "
+                "models = models.with_taesd(path_or_(config, params)); see "
+                "models/taesd.py")
         #: DeepCache-style step caching: recompute the deep UNet trunk only
         #: every ``step_cache`` steps, splicing the cached trunk into
         #: shallow-only passes in between (opt-in approximation — adjacent
@@ -421,13 +436,44 @@ class Engine:
             mask[sorted(idx)] = True
         return mask
 
+    def _make_decode(self, out_u8: bool = False):
+        """The latent->frame stage every fused program ends with: the KL
+        decoder (reference ``stable_diffusion_pipeline.py:431-433``
+        semantics — /scaling_factor, [-1,1]->[0,1]) or, with
+        ``tiny_decoder=True``, the TAESD tiny decoder, which takes the
+        sampler's SCALED latents directly and emits [0,1] (models/taesd.py
+        conventions)."""
+        if self.tiny_decoder:
+            taesd = self.models.taesd_decoder()
+
+            def decode(params, lat):
+                imgs = taesd.apply(params["taesd_decoder"], lat)
+                imgs = jnp.clip(imgs.astype(jnp.float32), 0.0, 1.0)
+                if out_u8:
+                    imgs = jnp.round(imgs * 255.0).astype(jnp.uint8)
+                return imgs
+            return decode
+        vae = self.models.vae()
+        scale = self.models.vae_config.scaling_factor
+
+        def decode(params, lat):
+            imgs = vae.apply(params["vae"], lat / scale,
+                             method=AutoencoderKL.decode)
+            imgs = jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            if out_u8:
+                # quantise ON DEVICE: frames leave the chip as 8-bit (what
+                # PNG/video need anyway) — 4x less device->host traffic,
+                # which measured as the walk bottleneck through the axon
+                # tunnel (tools/demo_walk_r02.json: transfer > denoise)
+                imgs = jnp.round(imgs * 255.0).astype(jnp.uint8)
+            return imgs
+        return decode
+
     def _build(self, batch: int, h: int, w: int, steps: int, ctx_len: int,
                out_u8: bool = False, with_ctrl: bool = False,
                guess_mode: bool = False, sched=None):
         sched = sched if sched is not None else self.sched
         unet = self.models.unet()
-        vae = self.models.vae()
-        scale = self.models.vae_config.scaling_factor
         ctrl_mods = ([cn.module(dtype=self.models.dtype,
                                 tiled=self.models.tiled)
                       for cn in self.controlnet] if with_ctrl else None)
@@ -539,19 +585,9 @@ class Engine:
             st, lat = sched.step(tables, st, i, eps, lat)
             return (lat, st, deep) if cache_k else (lat, st)
 
-        def decode(params, lat):
-            imgs = vae.apply(params["vae"], lat / scale,
-                             method=AutoencoderKL.decode)
-            imgs = jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
-            if out_u8:
-                # quantise ON DEVICE: frames leave the chip as 8-bit (what
-                # PNG/video need anyway) — 4x less device->host traffic,
-                # which measured as the walk bottleneck through the axon
-                # tunnel (tools/demo_walk_r02.json: transfer > denoise)
-                imgs = jnp.round(imgs * 255.0).astype(jnp.uint8)
-            return imgs
+        decode = self._make_decode(out_u8)
 
-        tiled_vae = self.vae_tile is not None
+        tiled_vae = self.vae_tile is not None and not self.tiny_decoder
 
         def program(params, context, added, ctrl, latents, guidance, tables,
                     key):
@@ -822,7 +858,8 @@ class Engine:
         sched_name, sched = self._sched_snapshot()
         tables = self._tables(num_inference_steps, eta,
                               sched_name=sched_name, sched=sched)
-        out_u8 = output_dtype == "uint8" and self.vae_tile is None
+        out_u8 = output_dtype == "uint8" and (self.vae_tile is None
+                                              or self.tiny_decoder)
         fn = self._get_compiled(Bp, h, w, num_inference_steps, cond.shape[1],
                                 out_u8, with_ctrl=bool(ctrl),
                                 guess_mode=guess_mode and bool(ctrl),
@@ -832,7 +869,7 @@ class Engine:
         with _trace("denoise_dispatch"):
             imgs = fn(self._params, context, added, ctrl, noise_p,
                       jnp.float32(guidance_scale), tables, key)
-        if self.vae_tile is not None:
+        if self.vae_tile is not None and not self.tiny_decoder:
             imgs = self.decode_latents_tiled(imgs)
         return imgs, B
 
@@ -845,17 +882,10 @@ class Engine:
         one jitted whole-frame decode, or the overlapping-tile path when
         ``vae_tile`` is configured (standalone counterpart of the decode
         fused into the denoise program)."""
-        if self.vae_tile is not None:
+        if self.vae_tile is not None and not self.tiny_decoder:
             return self.decode_latents_tiled(latents)
         if self._decode_fn is None:
-            vae = self.models.vae()
-            scale = self.models.vae_config.scaling_factor
-
-            def dec(params, z):
-                img = vae.apply(params["vae"], z / scale,
-                                method=AutoencoderKL.decode)
-                return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0, 1)
-            self._decode_fn = jax.jit(dec)
+            self._decode_fn = jax.jit(self._make_decode())
         return np.asarray(self._decode_fn(self._params,
                                           jnp.asarray(latents)))
 
@@ -1107,7 +1137,7 @@ class Engine:
                                 sched_name=sched_name, sched=sched)
         imgs = fn(self._params, context, added, ctrl, noisy_p,
                   jnp.float32(guidance_scale), sliced, key)
-        if self.vae_tile is not None:
+        if self.vae_tile is not None and not self.tiny_decoder:
             imgs = self.decode_latents_tiled(imgs)
         return np.asarray(imgs)[:B]
 
@@ -1166,7 +1196,7 @@ class Engine:
         fn = self._compiled[ckey]
         imgs = fn(self._params, context, added, init_p, mask_p,
                   jnp.float32(guidance_scale), tables, key)
-        if self.vae_tile is not None:
+        if self.vae_tile is not None and not self.tiny_decoder:
             imgs = self.decode_latents_tiled(imgs)
         return np.asarray(imgs)[:B]
 
@@ -1175,8 +1205,6 @@ class Engine:
         if sched_name is None:
             sched_name, sched = self._sched_snapshot()
         unet = self.models.unet()
-        vae = self.models.vae()
-        scale = self.models.vae_config.scaling_factor
         # euler_ancestral's marginal level after step i is also sigmas[i+1]
         # (sqrt(sigma_down^2 + sigma_up^2) == sigma_next)
         sigma_space = sched_name in self._SIGMA_SAMPLERS
@@ -1197,6 +1225,7 @@ class Engine:
 
         is_xl = self.models.is_xl
         with_ip = self.ip is not None
+        decode = self._make_decode()
 
         def program(params, context, added, init, mask, guidance, tables,
                     key):
@@ -1230,9 +1259,7 @@ class Engine:
 
             (lat, _), _ = jax.lax.scan(body, (lat, state),
                                        jnp.arange(n_loop))
-            imgs = vae.apply(params["vae"], lat / scale,
-                             method=AutoencoderKL.decode)
-            return jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            return decode(params, lat)
 
         bs = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
